@@ -1,0 +1,22 @@
+"""Model families: HRNet heatmap nets, SimpleBaseline, detectors, discriminator.
+
+Registry mirrors the reference's ``models.<NAME>.get_pose_net`` lookup
+(landmark_regression/tools/train.py) with a plain dict.
+"""
+
+from .hrnet import HRNet, HRNetConfig, POSE_HRNET_W32, HRNET_CMS, HRNET_CMS_384
+from .pose_resnet import PoseResNet, PoseResNetConfig
+from .discriminator import MultiScaleDiscriminator
+
+
+def build_landmark_model(name: str, num_joints: int, **kwargs):
+    """Build a landmark-regression model by reference name."""
+    if name == "pose_hrnet":
+        return HRNet(config=POSE_HRNET_W32.with_joints(num_joints), **kwargs)
+    if name == "hrnet_cms":
+        return HRNet(config=HRNET_CMS.with_joints(num_joints), **kwargs)
+    if name == "hrnet_cms_384":
+        return HRNet(config=HRNET_CMS_384.with_joints(num_joints), **kwargs)
+    if name == "pose_resnet":
+        return PoseResNet(config=PoseResNetConfig(num_joints=num_joints), **kwargs)
+    raise ValueError(f"unknown landmark model: {name}")
