@@ -1,0 +1,168 @@
+"""PnP solver vs cv2.solvePnP / solvePnPRansac oracles."""
+
+import cv2
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+import jax
+import jax.numpy as jnp
+
+from spacecraft_pose_estimation_tpu.ops import geometry as G
+from spacecraft_pose_estimation_tpu.ops import pnp
+
+K = np.array([[800.0, 0, 640.0], [0, 800.0, 400.0], [0, 0, 1.0]])
+DIST = np.array([-0.1, 0.03, 1e-3, -5e-4, 0.0])
+
+
+def make_scene(rng, n=24, noise=0.0, n_outliers=0):
+    world = rng.uniform(-1.0, 1.0, size=(n, 3))
+    R = Rotation.random(random_state=rng).as_matrix()
+    t = np.array([0.2, -0.1, 6.0]) + rng.normal(scale=0.2, size=3)
+    uv = np.asarray(
+        G.project_points(
+            jnp.asarray(world, jnp.float32),
+            jnp.asarray(R, jnp.float32),
+            jnp.asarray(t, jnp.float32),
+            jnp.asarray(K, jnp.float32),
+            jnp.asarray(DIST, jnp.float32),
+        )
+    ).astype(np.float64)
+    uv += rng.normal(scale=noise, size=uv.shape)
+    if n_outliers:
+        idx = rng.choice(n, size=n_outliers, replace=False)
+        uv[idx] += rng.uniform(80, 300, size=(n_outliers, 2)) * rng.choice([-1, 1], (n_outliers, 2))
+    return world, R, t, uv
+
+
+def rot_err_deg(Ra, Rb):
+    cos = (np.trace(Ra.T @ Rb) - 1) / 2
+    return np.degrees(np.arccos(np.clip(cos, -1, 1)))
+
+
+class TestAdaptiveConfidenceMask:
+    def oracle(self, conf):
+        thr, it = 0.95, 0
+        good = conf > thr
+        while good.sum() < 15 and it < 100:
+            thr *= 0.8
+            good = conf > thr
+            it += 1
+        return good
+
+    def test_matches_reference_loop(self):
+        rng = np.random.default_rng(0)
+        for _ in range(10):
+            conf = rng.uniform(0, 1, size=24).astype(np.float32)
+            got = np.asarray(pnp.adaptive_confidence_mask(jnp.asarray(conf)))
+            np.testing.assert_array_equal(got, self.oracle(conf))
+
+    def test_low_confidence_everywhere(self):
+        conf = np.full(24, 1e-9, np.float32)
+        got = np.asarray(pnp.adaptive_confidence_mask(jnp.asarray(conf)))
+        np.testing.assert_array_equal(got, self.oracle(conf))
+
+
+class TestEPnP:
+    def test_clean_recovery(self):
+        rng = np.random.default_rng(1)
+        world, R, t, uv = make_scene(rng, n=24, noise=0.0)
+        norm = G.pixels_to_normalized(
+            jnp.asarray(uv, jnp.float32), jnp.asarray(K, jnp.float32), jnp.asarray(DIST, jnp.float32)
+        )
+        Re, te = pnp.epnp(jnp.asarray(world, jnp.float32), norm, jnp.ones(24))
+        assert rot_err_deg(np.asarray(Re), R) < 0.5
+        np.testing.assert_allclose(np.asarray(te), t, atol=0.05)
+
+    def test_weighted_ignores_masked_points(self):
+        rng = np.random.default_rng(2)
+        world, R, t, uv = make_scene(rng, n=20, noise=0.0)
+        # corrupt 5 points but zero their weights
+        uv2 = uv.copy()
+        uv2[:5] += 500.0
+        w = np.ones(20, np.float32)
+        w[:5] = 0.0
+        norm = G.pixels_to_normalized(
+            jnp.asarray(uv2, jnp.float32), jnp.asarray(K, jnp.float32), jnp.asarray(DIST, jnp.float32)
+        )
+        Re, te = pnp.epnp(jnp.asarray(world, jnp.float32), norm, jnp.asarray(w))
+        assert rot_err_deg(np.asarray(Re), R) < 1.0
+
+
+class TestSolvePnP:
+    def test_matches_cv2_with_noise(self):
+        rng = np.random.default_rng(3)
+        world, R, t, uv = make_scene(rng, n=24, noise=0.5)
+        ok, rvec, tvec = cv2.solvePnP(world, uv, K, DIST, flags=cv2.SOLVEPNP_EPNP)
+        R_cv = cv2.Rodrigues(rvec)[0]
+        Re, te = pnp.solve_pnp(
+            jnp.asarray(world, jnp.float32),
+            jnp.asarray(uv, jnp.float32),
+            jnp.asarray(K, jnp.float32),
+            jnp.asarray(DIST, jnp.float32),
+            jnp.ones(24),
+        )
+        # Both should be close to ground truth; ours (with GN refine) at
+        # least as close as raw cv2 EPnP.
+        assert rot_err_deg(np.asarray(Re), R) < 0.5
+        assert np.linalg.norm(np.asarray(te) - t) < 0.02 * np.linalg.norm(t)
+        assert rot_err_deg(np.asarray(Re), R) <= rot_err_deg(R_cv, R) + 0.2
+
+
+class TestRansac:
+    def test_robust_to_outliers(self):
+        rng = np.random.default_rng(4)
+        world, R, t, uv = make_scene(rng, n=24, noise=1.0, n_outliers=6)
+        conf = np.ones(24, np.float32)
+        out = pnp.pnp_ransac(
+            jnp.asarray(world, jnp.float32),
+            jnp.asarray(uv, jnp.float32),
+            jnp.asarray(K, jnp.float32),
+            jnp.asarray(DIST, jnp.float32),
+            jnp.asarray(conf),
+            jax.random.key(0),
+            num_hypotheses=256,
+        )
+        assert rot_err_deg(np.asarray(out["R"]), R) < 1.0
+        assert np.linalg.norm(np.asarray(out["t"]) - t) < 0.05 * np.linalg.norm(t)
+        assert int(out["num_inliers"]) >= 16
+
+    def test_parity_with_cv2_ransac(self):
+        rng = np.random.default_rng(5)
+        world, R, t, uv = make_scene(rng, n=24, noise=1.5, n_outliers=5)
+        ok, rvec, tvec, inl = cv2.solvePnPRansac(
+            world, uv, K, DIST, flags=cv2.SOLVEPNP_EPNP,
+            iterationsCount=10000, reprojectionError=15.0,
+        )
+        R_cv = cv2.Rodrigues(rvec)[0]
+        out = pnp.pnp_ransac(
+            jnp.asarray(world, jnp.float32),
+            jnp.asarray(uv, jnp.float32),
+            jnp.asarray(K, jnp.float32),
+            jnp.asarray(DIST, jnp.float32),
+            jnp.ones(24, jnp.float32),
+            jax.random.key(1),
+            num_hypotheses=256,
+        )
+        # Pose-score parity target: within 1% of the OpenCV answer.
+        assert rot_err_deg(np.asarray(out["R"]), R_cv) < 1.0
+        assert (
+            np.linalg.norm(np.asarray(out["t"]) - tvec[:, 0])
+            < 0.01 * np.linalg.norm(tvec) + 0.02
+        )
+
+    def test_batched_over_frames(self):
+        rng = np.random.default_rng(6)
+        scenes = [make_scene(rng, n=16, noise=0.5, n_outliers=2) for _ in range(4)]
+        worlds = jnp.asarray(np.stack([s[0] for s in scenes]), jnp.float32)
+        uvs = jnp.asarray(np.stack([s[3] for s in scenes]), jnp.float32)
+        keys = jax.random.split(jax.random.key(2), 4)
+        solve = jax.vmap(
+            lambda w, u, k: pnp.pnp_ransac(
+                w, u, jnp.asarray(K, jnp.float32), jnp.asarray(DIST, jnp.float32),
+                jnp.ones(16), k, num_hypotheses=128,
+            )
+        )
+        outs = solve(worlds, uvs, keys)
+        for i, (_, R, t, _) in enumerate(scenes):
+            assert rot_err_deg(np.asarray(outs["R"][i]), R) < 2.0
