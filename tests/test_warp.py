@@ -1,0 +1,74 @@
+"""Affine warp vs cv2.warpAffine oracle."""
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+
+from spacecraft_pose_estimation_tpu.ops import geometry as G
+from spacecraft_pose_estimation_tpu.ops import warp as W
+
+
+def cv2_crop(img, center, scale, rot, out_size):
+    M = np.asarray(G.crop_affine_matrix(center, scale, rot, out_size))
+    return cv2.warpAffine(
+        img, M.astype(np.float64), out_size, flags=cv2.INTER_LINEAR
+    )
+
+
+class TestAffineWarp:
+    def _img(self, rng, h=97, w=123):
+        return rng.uniform(0, 255, size=(h, w, 3)).astype(np.float32)
+
+    def test_identity_like_crop(self):
+        rng = np.random.default_rng(0)
+        img = self._img(rng)
+        center = np.array([60.0, 48.0], np.float32)
+        scale = np.array([0.32, 0.32], np.float32)  # 64 px box
+        out = W.crop_and_resize(jnp.asarray(img), center, scale, 0.0, (64, 64))
+        ref = cv2_crop(img, center, scale, 0.0, (64, 64))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=0.5)
+
+    def test_rotated_crop(self):
+        rng = np.random.default_rng(1)
+        img = self._img(rng)
+        center = np.array([61.5, 47.25], np.float32)
+        scale = np.array([0.4, 0.4], np.float32)
+        out = W.crop_and_resize(jnp.asarray(img), center, scale, 27.0, (48, 48))
+        ref = cv2_crop(img, center, scale, 27.0, (48, 48))
+        # interior pixels should match closely; allow edge tolerance
+        diff = np.abs(np.asarray(out) - ref)
+        assert np.median(diff) < 0.5
+        assert (diff < 2.0).mean() > 0.97
+
+    def test_out_of_bounds_zero_border(self):
+        rng = np.random.default_rng(2)
+        img = self._img(rng, 40, 40)
+        center = np.array([0.0, 0.0], np.float32)  # box half outside
+        scale = np.array([0.2, 0.2], np.float32)
+        out = np.asarray(W.crop_and_resize(jnp.asarray(img), center, scale, 0.0, (40, 40)))
+        ref = cv2_crop(img, center, scale, 0.0, (40, 40))
+        np.testing.assert_allclose(out, ref, atol=0.5)
+        assert out[0, 0].max() == 0.0  # fully outside corner is zero
+
+    def test_batched(self):
+        rng = np.random.default_rng(3)
+        imgs = np.stack([self._img(rng, 64, 64) for _ in range(3)])
+        centers = np.tile(np.array([[32.0, 32.0]], np.float32), (3, 1))
+        scales = np.tile(np.array([[0.3, 0.3]], np.float32), (3, 1))
+        rots = np.zeros(3, np.float32)
+        out = W.batched_crop_and_resize(
+            jnp.asarray(imgs), jnp.asarray(centers), jnp.asarray(scales), jnp.asarray(rots), (32, 32)
+        )
+        assert out.shape == (3, 32, 32, 3)
+        ref0 = cv2_crop(imgs[0], centers[0], scales[0], 0.0, (32, 32))
+        np.testing.assert_allclose(np.asarray(out[0]), ref0, atol=0.5)
+
+    def test_upsampling_crop(self):
+        # crop smaller than output (zoom in)
+        rng = np.random.default_rng(4)
+        img = self._img(rng, 64, 64)
+        center = np.array([30.0, 30.0], np.float32)
+        scale = np.array([0.08, 0.08], np.float32)  # 16 px box -> 64 px out
+        out = W.crop_and_resize(jnp.asarray(img), center, scale, 0.0, (64, 64))
+        ref = cv2_crop(img, center, scale, 0.0, (64, 64))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=0.5)
