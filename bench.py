@@ -3,6 +3,13 @@
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is measured against the north-star target of 2000
 frames/s/chip (BASELINE.md) — >1.0 beats it.
+
+Timing methodology: this image's axon TPU backend is fully asynchronous
+(`block_until_ready` returns before execution) and has a ~25 ms host
+round-trip. We therefore run the pipeline N times inside a single
+carry-chained `lax.scan` dispatch (the carry feeds each iteration so XLA
+cannot hoist or dedupe the body) and report the *marginal* cost between
+two N values — pure device throughput, dispatch overhead excluded.
 """
 
 import json
@@ -15,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_FPS = 2000.0
 
 
-def main():
+def build(batch):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -27,17 +34,13 @@ def main():
     )
 
     num_joints = 11
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
     h, w = 1200, 1920  # SPEED+ frame size
 
     model = HRNet(config=POSE_HRNET_W32.with_joints(num_joints), dtype=jnp.bfloat16)
     variables = model.init(jax.random.key(0), jnp.zeros((1, 512, 512, 3)), train=False)
 
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(
-        rng.integers(0, 255, size=(batch, h, w, 3)).astype(np.float32)
-    )
+    frames = jnp.asarray(rng.integers(0, 255, size=(batch, h, w, 3)).astype(np.float32))
     boxes = jnp.asarray(
         np.tile(np.array([[700.0, 400.0, 500.0, 420.0]], np.float32), (batch, 1))
     )
@@ -49,22 +52,42 @@ def main():
         model, lm3d, K, dist, PipelineConfig(solver="gn", refine_iters=5)
     )
 
-    @jax.jit
-    def step(variables, frames, boxes):
-        out = run(variables, frames, boxes)
-        return out["keypoints"], out["confidence"], out["R"], out["t"]
+    from functools import partial
 
-    # Warmup / compile.
-    r = step(variables, frames, boxes)
-    jax.block_until_ready(r)
+    @partial(jax.jit, static_argnames=("n",))
+    def repeat(variables, frames, boxes, n):
+        def body(carry, _):
+            # carry-dependent perturbation: forces truly serial execution,
+            # numerically negligible (<1e-18 relative).
+            f = frames + carry * 1e-20
+            out = run(variables, f, boxes)
+            c = carry + jnp.sum(out["t"]) * 1e-20
+            return c, None
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = step(variables, frames, boxes)
-    jax.block_until_ready(r)
-    dt = time.perf_counter() - t0
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return c
 
-    fps = batch * iters / dt
+    def timed(n):
+        t0 = time.perf_counter()
+        _ = float(repeat(variables, frames, boxes, n))  # readback forces exec
+        return time.perf_counter() - t0
+
+    return timed
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    n_lo = int(os.environ.get("BENCH_N_LO", "2"))
+    n_hi = int(os.environ.get("BENCH_N_HI", "12"))
+
+    timed = build(batch)
+    timed(n_lo)  # compile both variants
+    timed(n_hi)
+    t_lo = min(timed(n_lo) for _ in range(3))
+    t_hi = min(timed(n_hi) for _ in range(3))
+    dt = (t_hi - t_lo) / (n_hi - n_lo)
+    fps = batch / dt
+
     print(
         json.dumps(
             {
