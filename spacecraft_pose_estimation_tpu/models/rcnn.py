@@ -1,0 +1,165 @@
+"""GeneralizedRCNN: backbone -> FPN -> RPN -> ROI heads, one jitted graph.
+
+Equivalent of detectron2 modeling/meta_arch/rcnn.py:25-224
+(`preprocess_image` normalization + padding, `forward` training losses,
+`inference` detections) — but batched fixed-shape end to end: images
+arrive pre-sized (the dataloader letterboxes to a static size, replacing
+ImageList.from_tensors), detections leave as padded arrays with masks.
+
+The flagship preset mirrors object_detection_utils.py config_4
+(X101-FPN, class-agnostic boxes, 1 class, 2 detections/image).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .anchors import fpn_anchors
+from .fpn import FPN, FPN_STRIDES
+from .resnet_backbone import (
+    RESNET_TINY,
+    RESNET50_FPN,
+    RESNEXT101_32x8d,
+    ResNetBackbone,
+    ResNetConfig,
+)
+from .roi_heads import (
+    ROIHeadsConfig,
+    StandardROIHeads,
+    fast_rcnn_inference,
+    fast_rcnn_losses,
+    sample_proposals,
+)
+from .rpn import RPNConfig, RPNHead, find_top_proposals, rpn_losses
+
+Array = jax.Array
+Dtype = Any
+
+# Caffe2 zoo pixel stats (detectron2 configs: BGR mean, std 1).
+PIXEL_MEAN = (103.530, 116.280, 123.675)
+PIXEL_STD = (1.0, 1.0, 1.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class RCNNConfig:
+    backbone: ResNetConfig = RESNEXT101_32x8d
+    fpn_channels: int = 256
+    anchor_sizes: tuple[tuple[float, ...], ...] = ((32,), (64,), (128,), (256,), (512,))
+    anchor_aspect_ratios: tuple[float, ...] = (0.5, 1.0, 2.0)
+    rpn: RPNConfig = RPNConfig()
+    roi: ROIHeadsConfig = ROIHeadsConfig()
+    pixel_mean: tuple[float, float, float] = PIXEL_MEAN
+    pixel_std: tuple[float, float, float] = PIXEL_STD
+
+
+# The reference's detector preset: config_4 semantics.
+FASTER_RCNN_X101_SPACECRAFT = RCNNConfig(
+    backbone=RESNEXT101_32x8d,
+    roi=ROIHeadsConfig(num_classes=1, cls_agnostic_bbox_reg=True, detections_per_image=2),
+)
+
+RCNN_TINY = RCNNConfig(
+    backbone=RESNET_TINY,
+    fpn_channels=16,
+    rpn=RPNConfig(
+        pre_nms_topk_train=64, post_nms_topk_train=32,
+        pre_nms_topk_test=64, post_nms_topk_test=32,
+        batch_size_per_image=16,
+    ),
+    roi=ROIHeadsConfig(
+        num_classes=1, cls_agnostic_bbox_reg=True, batch_size_per_image=16,
+        fc_dim=32, detections_per_image=2,
+    ),
+)
+
+
+class GeneralizedRCNN(nn.Module):
+    config: RCNNConfig = FASTER_RCNN_X101_SPACECRAFT
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        images: Array,  # (B, H, W, 3) raw 0-255
+        gt_boxes: Array | None = None,  # (B, G, 4) XYXY padded
+        gt_classes: Array | None = None,  # (B, G) 0-based ids
+        gt_valid: Array | None = None,  # (B, G) bool
+        rng: Array | None = None,
+        train: bool = False,
+    ):
+        cfg = self.config
+        b, h, w = images.shape[0], images.shape[1], images.shape[2]
+
+        mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
+        std = jnp.asarray(cfg.pixel_std, jnp.float32)
+        x = (images.astype(jnp.float32) - mean) / std
+
+        feats = ResNetBackbone(cfg.backbone, dtype=self.dtype, name="backbone")(x)
+        pyramid = FPN(cfg.fpn_channels, dtype=self.dtype, name="fpn")(feats)
+
+        levels = sorted(pyramid.keys())
+        shapes = {l: (pyramid[l].shape[1], pyramid[l].shape[2]) for l in levels}
+        sizes = {l: cfg.anchor_sizes[i] for i, l in enumerate(levels)}
+        anchors = fpn_anchors(shapes, FPN_STRIDES, sizes, cfg.anchor_aspect_ratios)
+
+        num_anchors = len(cfg.anchor_aspect_ratios) * len(cfg.anchor_sizes[0])
+        head_out = RPNHead(num_anchors, dtype=self.dtype, name="rpn_head")(pyramid)
+
+        # Per-image proposal selection, vmapped over the batch.
+        def proposals_one(img_head_out):
+            return find_top_proposals(img_head_out, anchors, (h, w), cfg.rpn, train)
+
+        per_image_head = {l: (head_out[l][0], head_out[l][1]) for l in levels}
+        prop_boxes, prop_scores, prop_valid = jax.vmap(proposals_one)(per_image_head)
+
+        roi = StandardROIHeads(cfg.roi, dtype=self.dtype, name="roi_heads")
+
+        if train:
+            if rng is None:
+                rng = self.make_rng("sampling")
+            sample_keys = jax.random.split(jax.random.fold_in(rng, 0), b)
+            rpn_keys = jax.random.split(jax.random.fold_in(rng, 1), b)
+
+            sampled = jax.vmap(
+                lambda pb, pv, gb, gc, gv, k: sample_proposals(
+                    jax.lax.stop_gradient(pb), pv, gb, gc, gv, k, cfg.roi
+                )
+            )(prop_boxes, prop_valid, gt_boxes, gt_classes, gt_valid, sample_keys)
+
+            scores, deltas = roi(pyramid, sampled["boxes"], FPN_STRIDES)
+
+            rpn_loss = jax.vmap(
+                lambda ho, gb, gv, k: rpn_losses(ho, anchors, gb, gv, k, cfg.rpn)
+            )(per_image_head, gt_boxes, gt_valid, rpn_keys)
+            roi_loss = jax.vmap(
+                lambda s, d, sm: fast_rcnn_losses(s, d, sm, cfg.roi)
+            )(scores, deltas, sampled)
+            losses = {k: jnp.mean(v) for k, v in {**rpn_loss, **roi_loss}.items()}
+            losses["loss_total"] = sum(losses.values())
+            return losses
+
+        scores, deltas = roi(pyramid, prop_boxes, FPN_STRIDES)
+        dets = jax.vmap(
+            lambda s, d, p, v: fast_rcnn_inference(s, d, p, v, (h, w), cfg.roi)
+        )(scores, deltas, prop_boxes, prop_valid)
+        return dets
+
+
+def select_best_box(dets: dict, image_hw: tuple) -> Array:
+    """Per image: argmax-score box, or the full frame if nothing was
+    detected (export_object_detection_bounding_boxes.py:313-322).
+
+    Returns (B, 4) XYXY.
+    """
+    h, w = image_hw
+    scores = jnp.where(dets["valid"], dets["scores"], -jnp.inf)
+    best = jnp.argmax(scores, axis=1)
+    boxes = jnp.take_along_axis(dets["boxes"], best[:, None, None], axis=1)[:, 0]
+    any_valid = jnp.any(dets["valid"], axis=1)
+    fallback = jnp.asarray([0.0, 0.0, float(w), float(h)])
+    return jnp.where(any_valid[:, None], boxes, fallback)

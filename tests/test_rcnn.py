@@ -1,0 +1,127 @@
+"""GeneralizedRCNN e2e forward tests (tiny config, synthetic data) —
+mirrors detectron2 tests/modeling/test_model_e2e.py (random inputs, no
+weights, train+inference paths, empty-GT handling)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spacecraft_pose_estimation_tpu.models.rcnn import (
+    RCNN_TINY,
+    GeneralizedRCNN,
+    select_best_box,
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = GeneralizedRCNN(config=RCNN_TINY)
+    images = jnp.zeros((2, 64, 64, 3))
+    variables = model.init(
+        {"params": jax.random.key(0), "sampling": jax.random.key(1)},
+        images,
+        train=False,
+    )
+    return model, variables
+
+
+def gt_batch(b=2, g=3):
+    rng = np.random.default_rng(0)
+    boxes = []
+    for _ in range(b * g):
+        x0, y0 = rng.uniform(0, 30, 2)
+        w, h = rng.uniform(10, 30, 2)
+        boxes.append([x0, y0, x0 + w, y0 + h])
+    gt_boxes = jnp.asarray(np.array(boxes, np.float32).reshape(b, g, 4))
+    gt_classes = jnp.zeros((b, g), jnp.int32)
+    gt_valid = jnp.asarray(np.array([[True, True, False]] * b))
+    return gt_boxes, gt_classes, gt_valid
+
+
+class TestRCNN:
+    def test_inference_shapes(self, model_and_vars):
+        model, variables = model_and_vars
+        images = jnp.asarray(
+            np.random.default_rng(1).uniform(0, 255, size=(2, 64, 64, 3)), jnp.float32
+        )
+        dets = model.apply(variables, images, train=False)
+        assert dets["boxes"].shape == (2, 2, 4)
+        assert dets["scores"].shape == (2, 2)
+        assert dets["valid"].dtype == bool
+        assert np.isfinite(np.asarray(dets["boxes"])).all()
+
+    def test_train_losses_finite(self, model_and_vars):
+        model, variables = model_and_vars
+        images = jnp.asarray(
+            np.random.default_rng(2).uniform(0, 255, size=(2, 64, 64, 3)), jnp.float32
+        )
+        gt_boxes, gt_classes, gt_valid = gt_batch()
+        losses = model.apply(
+            variables,
+            images,
+            gt_boxes=gt_boxes,
+            gt_classes=gt_classes,
+            gt_valid=gt_valid,
+            train=True,
+            rngs={"sampling": jax.random.key(3)},
+        )
+        for k in ("loss_rpn_cls", "loss_rpn_loc", "loss_cls", "loss_box_reg", "loss_total"):
+            assert np.isfinite(float(losses[k])), k
+
+    def test_empty_gt_image(self, model_and_vars):
+        model, variables = model_and_vars
+        images = jnp.zeros((1, 64, 64, 3))
+        gt_boxes = jnp.zeros((1, 3, 4))
+        gt_classes = jnp.zeros((1, 3), jnp.int32)
+        gt_valid = jnp.zeros((1, 3), bool)
+        losses = model.apply(
+            variables,
+            images,
+            gt_boxes=gt_boxes,
+            gt_classes=gt_classes,
+            gt_valid=gt_valid,
+            train=True,
+            rngs={"sampling": jax.random.key(4)},
+        )
+        assert np.isfinite(float(losses["loss_total"]))
+
+    def test_grads_flow(self, model_and_vars):
+        model, variables = model_and_vars
+        images = jnp.asarray(
+            np.random.default_rng(3).uniform(0, 255, size=(1, 64, 64, 3)), jnp.float32
+        )
+        gt_boxes, gt_classes, gt_valid = gt_batch(b=1)
+
+        def loss_fn(params):
+            losses = model.apply(
+                {"params": params},
+                images,
+                gt_boxes=gt_boxes,
+                gt_classes=gt_classes,
+                gt_valid=gt_valid,
+                train=True,
+                rngs={"sampling": jax.random.key(5)},
+            )
+            return losses["loss_total"]
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        gnorm = float(
+            jnp.sqrt(sum(jnp.sum(g**2) for g in jax.tree_util.tree_leaves(grads)))
+        )
+        assert np.isfinite(gnorm) and gnorm > 0
+        # frozen-at=0 in tiny config: backbone gets gradient
+        g_rpn = jax.tree_util.tree_leaves(grads["rpn_head"])
+        assert any(float(jnp.abs(g).max()) > 0 for g in g_rpn)
+
+    def test_select_best_box_fallback(self):
+        dets = {
+            "boxes": jnp.asarray([[[1.0, 2.0, 3.0, 4.0], [5.0, 6.0, 7.0, 8.0]]] * 2),
+            "scores": jnp.asarray([[0.2, 0.9], [0.0, 0.0]]),
+            "valid": jnp.asarray([[True, True], [False, False]]),
+            "classes": jnp.zeros((2, 2), jnp.int32),
+        }
+        best = select_best_box(dets, (64, 48))
+        np.testing.assert_allclose(np.asarray(best[0]), [5.0, 6.0, 7.0, 8.0])
+        np.testing.assert_allclose(np.asarray(best[1]), [0, 0, 48, 64])
