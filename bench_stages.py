@@ -1,8 +1,13 @@
-"""Per-stage timing breakdown (dev tool, not the official bench)."""
+"""Per-stage timing breakdown with scan-marginal methodology (dev tool).
+
+Each stage is looped N times inside one dispatch with a carry-dependent
+perturbation; cost = (t(N_hi) - t(N_lo)) / (N_hi - N_lo).
+"""
 
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -14,19 +19,41 @@ from spacecraft_pose_estimation_tpu.models.hrnet import HRNet, POSE_HRNET_W32
 from spacecraft_pose_estimation_tpu.ops import heatmap as hm_ops
 from spacecraft_pose_estimation_tpu.ops import pnp as pnp_ops
 from spacecraft_pose_estimation_tpu.ops import warp as warp_ops
-from spacecraft_pose_estimation_tpu.pipeline import boxes_to_center_scale, normalize_crops
+from spacecraft_pose_estimation_tpu.pipeline import boxes_to_center_scale
+
+N_LO, N_HI = 2, 10
 
 
-def timeit(name, fn, *args, iters=10):
-    r = fn(*args)
-    jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn(*args)
-    jax.block_until_ready(r)
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{name:30s} {dt * 1e3:9.2f} ms/iter")
-    return dt
+def marginal_time(fn, *args):
+    """fn(x, n) loops n times internally; returns marginal seconds/iter."""
+
+    def timed(n):
+        t0 = time.perf_counter()
+        _ = float(fn(*args, n))
+        return time.perf_counter() - t0
+
+    timed(N_LO)
+    timed(N_HI)
+    t_lo = min(timed(N_LO) for _ in range(3))
+    t_hi = min(timed(N_HI) for _ in range(3))
+    return (t_hi - t_lo) / (N_HI - N_LO)
+
+
+def scanner(body):
+    """Wrap body(x_perturbed) -> scalar into an n-iteration scan fn."""
+
+    @partial(jax.jit, static_argnames=("n",))
+    def fn(*args_and_n):
+        *args, n = args_and_n
+
+        def step(c, _):
+            out = body(*args, c)
+            return c + out * 1e-20, None
+
+        c, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=n)
+        return c
+
+    return fn
 
 
 def main():
@@ -43,33 +70,51 @@ def main():
     lm3d = jnp.asarray(rng.normal(size=(num_joints, 3)).astype(np.float32))
     K = jnp.asarray(np.array([[2988.6, 0, 960.0], [0, 2988.3, 600.0], [0, 0, 1]], np.float32))
     dist = jnp.zeros(5)
+    kps = jnp.asarray(rng.uniform(0, 1000, size=(batch, num_joints, 2)).astype(np.float32))
+    conf = jnp.asarray(rng.uniform(0, 1, size=(batch, num_joints)).astype(np.float32))
 
     model = HRNet(config=POSE_HRNET_W32.with_joints(num_joints), dtype=jnp.bfloat16)
     variables = model.init(jax.random.key(0), jnp.zeros((1, 512, 512, 3)), train=False)
 
-    warp_fn = jax.jit(
-        lambda f, c, s: warp_ops.batched_crop_and_resize(f, c, s, jnp.zeros(batch), (512, 512))
+    warp_fn = scanner(
+        lambda f, c, s, pert: jnp.sum(
+            warp_ops.batched_crop_and_resize(f + pert, c, s, jnp.zeros(f.shape[0]), (512, 512))
+        )
     )
-    model_fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
-    decode_fn = jax.jit(lambda hm, c, s: hm_ops.decode_heatmaps(hm, c, s))
+    model_fn = scanner(lambda v, x, pert: jnp.sum(model.apply(v, x + pert, train=False)))
+    decode_fn = scanner(
+        lambda hm, c, s, pert: jnp.sum(hm_ops.decode_heatmaps(hm + pert, c, s)[0])
+    )
 
-    def pnp_all(kps, conf):
-        def one(kp, cf):
-            wts = pnp_ops.adaptive_confidence_mask(cf, min_count=8).astype(jnp.float32)
-            return pnp_ops.solve_pnp(lm3d, kp, K, dist, wts, refine_iters=5)
-        return jax.vmap(one)(kps, conf)
+    def pnp_body(kp, cf, pert):
+        def one(kp1, cf1):
+            wts = pnp_ops.adaptive_confidence_mask(cf1, min_count=8).astype(jnp.float32)
+            R, t = pnp_ops.solve_pnp(lm3d, kp1, K, dist, wts, refine_iters=5)
+            return jnp.sum(t)
 
-    pnp_fn = jax.jit(pnp_all)
+        return jnp.sum(jax.vmap(one)(kp + pert, cf))
 
-    kps = jnp.asarray(rng.uniform(0, 1000, size=(batch, num_joints, 2)).astype(np.float32))
-    conf = jnp.asarray(rng.uniform(0, 1, size=(batch, num_joints)).astype(np.float32))
+    pnp_fn = scanner(pnp_body)
 
-    dt_w = timeit("warp (crop 512 from 1920)", warp_fn, frames, centers, scales)
-    dt_m = timeit("hrnet_w32 512 bf16", model_fn, variables, crops)
-    dt_d = timeit("decode 128x128", decode_fn, heatmaps, centers, scales)
-    dt_p = timeit("pnp gn x5", pnp_fn, kps, conf)
-    total = dt_w + dt_m + dt_d + dt_p
-    print(f"{'sum':30s} {total * 1e3:9.2f} ms -> {batch / total:.1f} fps")
+    def epnp_only_body(kp, cf, pert):
+        def one(kp1, cf1):
+            wts = (cf1 > 0.5).astype(jnp.float32)
+            R, t = pnp_ops.epnp(lm3d, kp1 / 1000.0, wts)
+            return jnp.sum(t)
+
+        return jnp.sum(jax.vmap(one)(kp + pert, cf))
+
+    epnp_fn = scanner(epnp_only_body)
+
+    results = {}
+    results["warp"] = marginal_time(warp_fn, frames, centers, scales)
+    results["hrnet_w32_512_bf16"] = marginal_time(model_fn, variables, crops)
+    results["decode"] = marginal_time(decode_fn, heatmaps, centers, scales)
+    results["epnp_only"] = marginal_time(epnp_fn, kps, conf)
+    results["pnp_gn5"] = marginal_time(pnp_fn, kps, conf)
+
+    for k, v in results.items():
+        print(f"{k:24s} {v * 1e3:9.2f} ms/batch   {batch / v:10.1f} fps")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,210 @@
+"""RetinaNet: single-stage detector with focal loss.
+
+Equivalent of detectron2 modeling/meta_arch/retinanet.py (439 LoC over
+DenseDetector) as used by the reference's config_20 preset
+(object_detection_utils.py:134-161, RetinaNet R101). Levels p3..p7,
+3 octave scales x 3 aspect ratios per level, 4-conv cls/box towers,
+sigmoid focal loss, per-level topk -> NMS inference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import boxes as box_ops
+from ..ops import nms as nms_ops
+from .anchors import fpn_anchors
+from .fpn import FPN
+from .resnet_backbone import RESNET_TINY, ResNetBackbone, ResNetConfig
+from .rpn import smooth_l1
+
+Array = jax.Array
+Dtype = Any
+
+RETINA_STRIDES = {"p3": 8, "p4": 16, "p5": 32, "p6": 64, "p7": 128}
+
+
+def octave_sizes(base: float) -> tuple[float, ...]:
+    return tuple(base * 2 ** (k / 3) for k in range(3))
+
+
+@dataclasses.dataclass(frozen=True)
+class RetinaNetConfig:
+    backbone: ResNetConfig = ResNetConfig(depth=101)
+    fpn_channels: int = 256
+    num_classes: int = 1
+    num_convs: int = 4
+    aspect_ratios: tuple[float, ...] = (0.5, 1.0, 2.0)
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    smooth_l1_beta: float = 0.1
+    iou_thresholds: tuple[float, float] = (0.4, 0.5)
+    bbox_reg_weights: tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    score_thresh: float = 0.05
+    nms_thresh: float = 0.5
+    topk_candidates: int = 1000
+    detections_per_image: int = 100
+    prior_prob: float = 0.01
+
+
+RETINANET_TINY = RetinaNetConfig(
+    backbone=RESNET_TINY, fpn_channels=16, num_convs=1, topk_candidates=64,
+    detections_per_image=4,
+)
+
+
+class RetinaNetHead(nn.Module):
+    """Shared 4-conv towers -> per-anchor class logits and box deltas."""
+
+    num_classes: int
+    num_anchors: int
+    num_convs: int
+    prior_prob: float
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: dict):
+        ch = feats[next(iter(feats))].shape[-1]
+        cls_tower = [
+            nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name=f"cls_conv{i}")
+            for i in range(self.num_convs)
+        ]
+        box_tower = [
+            nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name=f"box_conv{i}")
+            for i in range(self.num_convs)
+        ]
+        bias_init = nn.initializers.constant(-math.log((1 - self.prior_prob) / self.prior_prob))
+        cls_out = nn.Conv(
+            self.num_anchors * self.num_classes, (3, 3), padding=1,
+            bias_init=bias_init, dtype=self.dtype, name="cls_score",
+        )
+        box_out = nn.Conv(
+            self.num_anchors * 4, (3, 3), padding=1, dtype=self.dtype, name="bbox_pred"
+        )
+        out = {}
+        for lvl, x in feats.items():
+            c = x
+            for conv in cls_tower:
+                c = nn.relu(conv(c))
+            b = x
+            for conv in box_tower:
+                b = nn.relu(conv(b))
+            out[lvl] = (
+                cls_out(c).astype(jnp.float32),
+                box_out(b).astype(jnp.float32),
+            )
+        return out
+
+
+def sigmoid_focal_loss(logits: Array, targets: Array, alpha: float, gamma: float) -> Array:
+    p = jax.nn.sigmoid(logits)
+    ce = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    p_t = p * targets + (1 - p) * (1 - targets)
+    loss = ce * (1 - p_t) ** gamma
+    if alpha >= 0:
+        loss = loss * (alpha * targets + (1 - alpha) * (1 - targets))
+    return loss
+
+
+class RetinaNet(nn.Module):
+    config: RetinaNetConfig = RetinaNetConfig()
+    dtype: Dtype = jnp.float32
+    pixel_mean: tuple = (103.530, 116.280, 123.675)
+    pixel_std: tuple = (1.0, 1.0, 1.0)
+
+    @nn.compact
+    def __call__(
+        self,
+        images: Array,
+        gt_boxes: Array | None = None,
+        gt_classes: Array | None = None,
+        gt_valid: Array | None = None,
+        train: bool = False,
+    ):
+        cfg = self.config
+        b, h, w = images.shape[0], images.shape[1], images.shape[2]
+        x = (images.astype(jnp.float32) - jnp.asarray(self.pixel_mean)) / jnp.asarray(
+            self.pixel_std
+        )
+        feats = ResNetBackbone(cfg.backbone, dtype=self.dtype, name="backbone")(x)
+        pyr = FPN(cfg.fpn_channels, dtype=self.dtype, name="fpn")(feats)
+        # RetinaNet levels: p3..p6 from FPN + p7 = conv(relu(p6)).
+        p7 = nn.Conv(
+            cfg.fpn_channels, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype, name="p7"
+        )(nn.relu(pyr["p6"]))
+        pyramid = {"p3": pyr["p3"], "p4": pyr["p4"], "p5": pyr["p5"], "p6": pyr["p6"], "p7": p7}
+
+        levels = sorted(pyramid.keys())
+        shapes = {l: (pyramid[l].shape[1], pyramid[l].shape[2]) for l in levels}
+        sizes = {
+            l: octave_sizes(4 * RETINA_STRIDES[l]) for l in levels
+        }  # ANCHOR_GENERATOR.SIZES retinanet default: 32..512 with octaves
+        anchors = fpn_anchors(shapes, RETINA_STRIDES, sizes, cfg.aspect_ratios)
+        anchor_cat = jnp.concatenate([anchors[l] for l in levels], axis=0)
+
+        num_anchors = 3 * len(cfg.aspect_ratios)
+        head = RetinaNetHead(
+            cfg.num_classes, num_anchors, cfg.num_convs, cfg.prior_prob,
+            dtype=self.dtype, name="head",
+        )(pyramid)
+
+        logits_cat = jnp.concatenate(
+            [head[l][0].reshape(b, -1, cfg.num_classes) for l in levels], axis=1
+        )
+        deltas_cat = jnp.concatenate(
+            [head[l][1].reshape(b, -1, 4) for l in levels], axis=1
+        )
+
+        if train:
+            def one(logits, deltas, gb, gc, gv):
+                iou = box_ops.pairwise_iou(gb, anchor_cat) * gv[:, None]
+                midx, mlab = box_ops.match_to_gt(
+                    iou, cfg.iou_thresholds, (0, -1, 1), allow_low_quality=True
+                )
+                mlab = jnp.where(jnp.any(gv), mlab, 0)
+                fg = mlab == 1
+                valid = mlab >= 0
+                cls_t = jax.nn.one_hot(gc[midx], cfg.num_classes) * fg[:, None]
+                cls_loss = sigmoid_focal_loss(
+                    logits, cls_t, cfg.focal_alpha, cfg.focal_gamma
+                )
+                cls_loss = jnp.sum(cls_loss * valid[:, None])
+                gt_d = box_ops.get_deltas(anchor_cat, gb[midx], cfg.bbox_reg_weights)
+                reg = jnp.sum(smooth_l1(deltas, gt_d, cfg.smooth_l1_beta), axis=-1)
+                reg_loss = jnp.sum(reg * fg)
+                norm = jnp.maximum(jnp.sum(fg), 1.0)
+                return cls_loss / norm, reg_loss / norm
+
+            cls_l, reg_l = jax.vmap(one)(logits_cat, deltas_cat, gt_boxes, gt_classes, gt_valid)
+            losses = {"loss_cls": jnp.mean(cls_l), "loss_box_reg": jnp.mean(reg_l)}
+            losses["loss_total"] = losses["loss_cls"] + losses["loss_box_reg"]
+            return losses
+
+        def infer_one(logits, deltas):
+            scores = jax.nn.sigmoid(logits)  # (N, C)
+            flat = scores.reshape(-1)
+            k = min(cfg.topk_candidates, flat.shape[0])
+            top_scores, top_idx = jax.lax.top_k(flat, k)
+            a_idx = top_idx // cfg.num_classes
+            c_idx = top_idx % cfg.num_classes
+            bx = box_ops.apply_deltas(deltas[a_idx], anchor_cat[a_idx], cfg.bbox_reg_weights)
+            bx = box_ops.clip_boxes(bx, h, w)
+            valid = top_scores > cfg.score_thresh
+            keep = nms_ops.batched_nms_mask(bx, top_scores, c_idx, cfg.nms_thresh, valid)
+            masked = jnp.where(keep, top_scores, -jnp.inf)
+            kk = min(cfg.detections_per_image, masked.shape[0])
+            fs, fi = jax.lax.top_k(masked, kk)
+            return {
+                "boxes": bx[fi],
+                "scores": jnp.where(jnp.isfinite(fs), fs, 0.0),
+                "classes": c_idx[fi],
+                "valid": jnp.isfinite(fs),
+            }
+
+        return jax.vmap(infer_one)(logits_cat, deltas_cat)
