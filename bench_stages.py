@@ -29,7 +29,7 @@ def marginal_time(fn, *args):
 
     def timed(n):
         t0 = time.perf_counter()
-        _ = float(fn(*args, n))
+        _ = float(fn(n, *args))
         return time.perf_counter() - t0
 
     timed(N_LO)
@@ -40,12 +40,10 @@ def marginal_time(fn, *args):
 
 
 def scanner(body):
-    """Wrap body(x_perturbed) -> scalar into an n-iteration scan fn."""
+    """Wrap body(*args, pert) -> scalar into an n-iteration scan fn."""
 
-    @partial(jax.jit, static_argnames=("n",))
-    def fn(*args_and_n):
-        *args, n = args_and_n
-
+    @partial(jax.jit, static_argnames="n")
+    def fn(n, *args):
         def step(c, _):
             out = body(*args, c)
             return c + out * 1e-20, None

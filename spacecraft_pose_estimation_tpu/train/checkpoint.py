@@ -1,0 +1,100 @@
+"""Orbax-backed checkpointing with the reference's resume semantics.
+
+Covers both reference flavours:
+* detectron2 DetectionCheckpointer: periodic saves + `last_checkpoint`
+  resume (checkpoint/detection_checkpoint.py:15, engine/defaults.py:398).
+* HRNet save_checkpoint dict {epoch/state/perf/optimizer} + model_best +
+  AUTO_RESUME (lib/utils/utils.py:79-84, tools/train.py:166-176).
+
+Stores the flax TrainState pytree (params, batch_stats, opt_state, step)
+plus a small metadata dict (epoch, best_perf).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 5):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+        )
+        self._best_path = os.path.join(self.directory, "best.json")
+
+    def save(self, step: int, state: Any, metadata: dict | None = None) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave({"state": to_saveable(state)}))
+        self._mgr.wait_until_finished()
+        # Metadata (epoch, best perf, ...) rides in a sidecar json — keeps
+        # the orbax tree structure independent of what callers attach.
+        with open(os.path.join(self.directory, f"meta_{step}.json"), "w") as f:
+            json.dump(metadata or {}, f)
+
+    def save_best(self, step: int, perf: float) -> bool:
+        """Track best perf (higher is better); returns True if improved."""
+        best = self.best_perf()
+        if best is None or perf > best:
+            with open(self._best_path, "w") as f:
+                json.dump({"step": step, "perf": perf}, f)
+            return True
+        return False
+
+    def best_perf(self) -> float | None:
+        if os.path.exists(self._best_path):
+            with open(self._best_path) as f:
+                return json.load(f)["perf"]
+        return None
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def restore(self, state_template: Any, step: int | None = None):
+        """Restore into the template's structure (resume_or_load)."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None
+        payload = self._mgr.restore(
+            step, args=ocp.args.StandardRestore({"state": to_saveable(state_template)})
+        )
+        meta_path = os.path.join(self.directory, f"meta_{step}.json")
+        metadata = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                metadata = json.load(f)
+        restored = from_saveable(state_template, payload["state"])
+        return restored, metadata, step
+
+    def close(self):
+        self._mgr.close()
+
+
+def to_saveable(state: Any):
+    """TrainState (or pytree) -> plain dict of arrays orbax can store."""
+    if hasattr(state, "params"):
+        return {
+            "step": state.step,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+        }
+    return state
+
+
+def from_saveable(template: Any, payload):
+    if hasattr(template, "params"):
+        return template.replace(
+            step=payload["step"],
+            params=payload["params"],
+            batch_stats=payload["batch_stats"],
+            opt_state=payload["opt_state"],
+        )
+    return payload
