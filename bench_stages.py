@@ -104,15 +104,16 @@ def main():
 
     epnp_fn = scanner(epnp_only_body)
 
-    results = {}
-    results["warp"] = marginal_time(warp_fn, frames, centers, scales)
-    results["hrnet_w32_512_bf16"] = marginal_time(model_fn, variables, crops)
-    results["decode"] = marginal_time(decode_fn, heatmaps, centers, scales)
-    results["epnp_only"] = marginal_time(epnp_fn, kps, conf)
-    results["pnp_gn5"] = marginal_time(pnp_fn, kps, conf)
-
-    for k, v in results.items():
-        print(f"{k:24s} {v * 1e3:9.2f} ms/batch   {batch / v:10.1f} fps")
+    stages = [
+        ("decode", decode_fn, (heatmaps, centers, scales)),
+        ("epnp_only", epnp_fn, (kps, conf)),
+        ("pnp_gn5", pnp_fn, (kps, conf)),
+        ("hrnet_w32_512_bf16", model_fn, (variables, crops)),
+        ("warp", warp_fn, (frames, centers, scales)),
+    ]
+    for name, fn, args in stages:
+        v = marginal_time(fn, *args)
+        print(f"{name:24s} {v * 1e3:9.2f} ms/batch   {batch / v:10.1f} fps", flush=True)
 
 
 if __name__ == "__main__":

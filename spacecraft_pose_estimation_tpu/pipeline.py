@@ -68,8 +68,10 @@ def make_landmark_stage(model, config: PipelineConfig = PipelineConfig()):
     def run(variables, frames: Array, boxes: Array):
         centers, scales = boxes_to_center_scale(boxes, config.bbox_padding)
         rots = jnp.zeros(frames.shape[0], jnp.float32)
+        # Inference never rotates -> separable MXU crop (TPU gathers are
+        # ~100x slower for this shape; see ops/warp.crop_and_resize_mxu).
         crops = warp.batched_crop_and_resize(
-            frames, centers, scales, rots, config.image_size
+            frames, centers, scales, rots, config.image_size, method="mxu"
         )
         inputs = normalize_crops(crops)
         heatmaps = model.apply(variables, inputs, train=False)

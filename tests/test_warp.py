@@ -63,6 +63,43 @@ class TestAffineWarp:
         ref0 = cv2_crop(imgs[0], centers[0], scales[0], 0.0, (32, 32))
         np.testing.assert_allclose(np.asarray(out[0]), ref0, atol=0.5)
 
+    def test_mxu_path_matches_gather_and_cv2(self):
+        rng = np.random.default_rng(5)
+        img = self._img(rng, 120, 150)
+        center = np.array([70.0, 55.0], np.float32)
+        scale = np.array([0.45, 0.45], np.float32)
+        mxu = W.crop_and_resize_mxu(jnp.asarray(img), jnp.asarray(center), jnp.asarray(scale), (64, 64))
+        gather = W.crop_and_resize(jnp.asarray(img), center, scale, 0.0, (64, 64))
+        ref = cv2_crop(img, center, scale, 0.0, (64, 64))
+        np.testing.assert_allclose(np.asarray(mxu), np.asarray(gather), atol=1e-2)
+        np.testing.assert_allclose(np.asarray(mxu), ref, atol=0.5)
+
+    def test_mxu_zero_border(self):
+        rng = np.random.default_rng(6)
+        img = self._img(rng, 40, 40)
+        center = np.array([0.0, 0.0], np.float32)
+        scale = np.array([0.2, 0.2], np.float32)
+        out = np.asarray(
+            W.crop_and_resize_mxu(jnp.asarray(img), jnp.asarray(center), jnp.asarray(scale), (40, 40))
+        )
+        ref = cv2_crop(img, center, scale, 0.0, (40, 40))
+        np.testing.assert_allclose(out, ref, atol=0.5)
+
+    def test_batched_method_dispatch(self):
+        rng = np.random.default_rng(7)
+        imgs = np.stack([self._img(rng, 64, 64) for _ in range(2)])
+        centers = np.tile(np.array([[32.0, 32.0]], np.float32), (2, 1))
+        scales = np.tile(np.array([[0.3, 0.3]], np.float32), (2, 1))
+        zeros = jnp.zeros(2)
+        out_auto = W.batched_crop_and_resize(
+            jnp.asarray(imgs), jnp.asarray(centers), jnp.asarray(scales), zeros, (32, 32)
+        )
+        out_gather = W.batched_crop_and_resize(
+            jnp.asarray(imgs), jnp.asarray(centers), jnp.asarray(scales), zeros, (32, 32),
+            method="gather",
+        )
+        np.testing.assert_allclose(np.asarray(out_auto), np.asarray(out_gather), atol=1e-2)
+
     def test_upsampling_crop(self):
         # crop smaller than output (zoom in)
         rng = np.random.default_rng(4)
