@@ -1,0 +1,234 @@
+"""DVS pixel-model event emulator as a functional JAX scan.
+
+Semantics follow v2e's EventEmulator (v2e/v2ecore/emulator.py:225-612,
+emulator_utils.py:12-191):
+
+* lin-log intensity mapping with the 1e-8 rounding trick (lin_log),
+* per-pixel Gaussian-mismatch thresholds clamped at 0.01 (_init:239-252)
+  and the nominal/actual `pre_prob` shot-noise weighting,
+* intensity-dependent first-order IIR low-pass (low_pass_filter),
+* leak events with log-normal per-pixel rate jitter
+  (subtract_leak_current),
+* event-count quantisation floor(diff/threshold) (compute_event_map),
+* multi-iteration emission with linspaced intra-frame timestamps,
+  refractory filtering against a per-pixel last-spike memory, Poisson
+  shot noise merged per iteration, and base-frame update by *emitted*
+  counts only (emulator.py:470-609).
+
+TPU-first difference: the dynamic `num_iters = max(count)` loop becomes
+a static ``max_iters`` scan with per-iteration masking, and events stay
+DENSE — output is (max_iters, H, W) int8 polarity maps + timestamps.
+`events/io.py` converts to sparse (t, x, y, p) lists on the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class EmulatorConfig:
+    pos_thres: float = 0.2
+    neg_thres: float = 0.2
+    sigma_thres: float = 0.03
+    cutoff_hz: float = 0.0
+    leak_rate_hz: float = 0.0
+    leak_jitter_fraction: float = 0.1
+    noise_rate_cov_decades: float = 0.1
+    shot_noise_rate_hz: float = 0.0
+    shot_noise_inten_factor: float = 0.25
+    refractory_period_s: float = 0.0
+    max_iters: int = 8  # static cap for per-frame event iterations
+
+    @classmethod
+    def preset(cls, model: str) -> "EmulatorConfig":
+        """set_dvs_params presets (emulator.py:289-310)."""
+        if model == "clean":
+            return cls(pos_thres=0.2, neg_thres=0.2, sigma_thres=0.02)
+        if model == "noisy":
+            return cls(
+                pos_thres=0.2, neg_thres=0.2, sigma_thres=0.05, cutoff_hz=30.0,
+                leak_rate_hz=0.1, shot_noise_rate_hz=5.0, refractory_period_s=0.01,
+            )
+        raise ValueError(model)
+
+
+class EmulatorState(struct.PyTreeNode):
+    base_log: Array  # memorized lin-log brightness
+    lp0: Array  # IIR stage 0
+    lp1: Array  # IIR stage 1 (output)
+    pos_thres: Array
+    neg_thres: Array
+    pos_pre_prob: Array
+    neg_pre_prob: Array
+    noise_rate: Array
+    timestamp_mem: Array
+    t_previous: Array
+    key: Array
+
+
+def lin_log(x: Array, threshold: float = 20.0) -> Array:
+    """Linear below threshold, log above; rounded to 1e-8 so that adding
+    and subtracting a threshold is reversible (emulator_utils.py:12-37)."""
+    f = (1.0 / threshold) * math.log(threshold)
+    y = jnp.where(x <= threshold, x * f, jnp.log(jnp.maximum(x, 1e-6)))
+    rounding = 1e8
+    return jnp.round(y * rounding) / rounding
+
+
+def rescale_intensity(frame: Array) -> Array:
+    return (frame + 20.0) / 275.0
+
+
+def init_state(first_frame: Array, key: Array, cfg: EmulatorConfig) -> EmulatorState:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    shape = first_frame.shape
+    base = lin_log(first_frame.astype(jnp.float32))
+    if cfg.sigma_thres > 0:
+        pos = jnp.maximum(cfg.pos_thres + cfg.sigma_thres * jax.random.normal(k1, shape), 0.01)
+        neg = jnp.maximum(cfg.neg_thres + cfg.sigma_thres * jax.random.normal(k2, shape), 0.01)
+    else:
+        pos = jnp.full(shape, cfg.pos_thres)
+        neg = jnp.full(shape, cfg.neg_thres)
+    noise_rate = jnp.exp(
+        math.log(10.0) * cfg.noise_rate_cov_decades * jax.random.normal(k3, shape)
+    )
+    return EmulatorState(
+        base_log=base,
+        lp0=base,
+        lp1=base,
+        pos_thres=pos,
+        neg_thres=neg,
+        pos_pre_prob=cfg.pos_thres / pos,
+        neg_pre_prob=cfg.neg_thres / neg,
+        noise_rate=noise_rate,
+        timestamp_mem=jnp.full(shape, -cfg.refractory_period_s),
+        t_previous=jnp.zeros(()),
+        key=k4,
+    )
+
+
+def emulate_frame(
+    state: EmulatorState, new_frame: Array, t_frame: Array, cfg: EmulatorConfig
+) -> tuple[EmulatorState, dict]:
+    """One DVS frame step. Returns dense per-iteration event maps:
+
+    out['pos'] / out['neg']: (max_iters, H, W) bool — an event fired at
+    that pixel in that sub-interval; out['ts']: (max_iters,) timestamps;
+    out['iter_valid']: (max_iters,) — iterations < num_iters.
+    """
+    new_frame = new_frame.astype(jnp.float32)
+    log_new = lin_log(new_frame)
+    dt = t_frame - state.t_previous
+    inten01 = rescale_intensity(new_frame)
+
+    # IIR low-pass (1st order; stage1 output lags one step, per reference)
+    if cfg.cutoff_hz > 0:
+        tau = 1.0 / (math.pi * 2 * cfg.cutoff_hz)
+        eps = jnp.clip(inten01 * (dt / tau), None, 1.0)
+        lp0 = (1 - eps) * state.lp0 + eps * log_new
+        lp1 = state.lp0
+    else:
+        lp0 = log_new
+        lp1 = log_new
+
+    key, k_leak, k_shot = jax.random.split(state.key, 3)
+
+    base = state.base_log
+    if cfg.leak_rate_hz > 0:
+        rand = jax.random.normal(k_leak, base.shape)
+        leak_rate = cfg.leak_rate_hz * state.noise_rate * (1 - cfg.leak_jitter_fraction * rand)
+        base = base - dt * leak_rate * state.pos_thres
+
+    diff = lp1 - base
+    pos_counts = jnp.floor(jnp.maximum(diff, 0.0) / state.pos_thres).astype(jnp.int32)
+    neg_counts = jnp.floor(jnp.maximum(-diff, 0.0) / state.neg_thres).astype(jnp.int32)
+    pos_counts = jnp.minimum(pos_counts, cfg.max_iters)
+    neg_counts = jnp.minimum(neg_counts, cfg.max_iters)
+    num_iters = jnp.maximum(jnp.maximum(pos_counts.max(), neg_counts.max()), 1)
+
+    ts_step = dt / num_iters
+    iters = jnp.arange(cfg.max_iters)
+    ts = state.t_previous + ts_step * (iters + 1)  # linspace(t_prev+step, t_frame)
+    iter_valid = iters < num_iters
+
+    # shot noise probabilities, loop-independent (generate_shot_noise)
+    if cfg.shot_noise_rate_hz > 0:
+        factor = (cfg.shot_noise_rate_hz / 2) * dt / num_iters
+        factor = factor * ((cfg.shot_noise_inten_factor - 1) * inten01 + 1)
+        rand01 = jax.random.uniform(k_shot, (cfg.max_iters, *base.shape))
+        shot_on = rand01 > (1 - factor * state.pos_pre_prob)[None]
+        shot_off = rand01 < (factor * state.neg_pre_prob)[None]
+    else:
+        shot_on = jnp.zeros((cfg.max_iters, *base.shape), bool)
+        shot_off = shot_on
+
+    def iter_body(carry, i):
+        ts_mem, final_pos, final_neg = carry
+        active = i < num_iters
+        pos_cord = (pos_counts >= i + 1) | shot_on[i]
+        neg_cord = (neg_counts >= i + 1) | shot_off[i]
+        pos_cord = pos_cord & active
+        neg_cord = neg_cord & active
+        if cfg.refractory_period_s > 0:
+            t_i = state.t_previous + ts_step * (i + 1)
+            refrac_ok = lambda cord: (cord * t_i - ts_mem) > cfg.refractory_period_s
+            # only filter when the refractory period exceeds the step
+            use_filter = cfg.refractory_period_s > ts_step
+            pos_f = jnp.where(use_filter, refrac_ok(pos_cord), pos_cord)
+            neg_f = jnp.where(use_filter, refrac_ok(neg_cord), neg_cord)
+            pos_cord, neg_cord = pos_f & pos_cord, neg_f & neg_cord
+            ts_mem = jnp.where(pos_cord | neg_cord, t_i, ts_mem)
+        return (
+            (ts_mem, final_pos + pos_cord, final_neg + neg_cord),
+            (pos_cord, neg_cord),
+        )
+
+    (ts_mem, final_pos, final_neg), (pos_maps, neg_maps) = jax.lax.scan(
+        iter_body,
+        (state.timestamp_mem, jnp.zeros_like(pos_counts), jnp.zeros_like(neg_counts)),
+        iters,
+    )
+
+    # base frame moves only by emitted events (emulator.py:606-609)
+    base = base + final_pos * state.pos_thres - final_neg * state.neg_thres
+
+    new_state = state.replace(
+        base_log=base,
+        lp0=lp0,
+        lp1=lp1,
+        timestamp_mem=ts_mem,
+        t_previous=t_frame,
+        key=key,
+    )
+    out = {
+        "pos": pos_maps,
+        "neg": neg_maps,
+        "ts": ts,
+        "iter_valid": iter_valid,
+        "num_events": jnp.sum(final_pos) + jnp.sum(final_neg),
+    }
+    return new_state, out
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def emulate_sequence(
+    state: EmulatorState, frames: Array, timestamps: Array, cfg: EmulatorConfig
+) -> tuple[EmulatorState, dict]:
+    """Scan the emulator over (T, H, W) frames; outputs get a leading T
+    axis: pos/neg (T, max_iters, H, W), ts (T, max_iters)."""
+
+    def body(st, inputs):
+        frame, t = inputs
+        return emulate_frame(st, frame, t, cfg)
+
+    return jax.lax.scan(body, state, (frames, timestamps))

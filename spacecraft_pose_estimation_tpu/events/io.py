@@ -1,0 +1,167 @@
+"""Event-stream IO: dense maps <-> sparse lists, CSV / AEDAT2 / HDF5.
+
+Host-side edge of the event subsystem, preserving the reference's file
+contracts:
+
+* events CSV — rows ``t, x, y, p`` with t in seconds (v2e --dvs_text,
+  DVSTextOutput; consumed by e2v.py:120-141, which collapses polarity to
+  +1 and supports ms/us timestamp unit flags and swap_xy),
+* AEDAT-2.0 — jAER binary: big-endian int32 (address, timestamp_us)
+  pairs, DAVIS bit packing x<<12 | y<<22 | p<<11 with x/y flips
+  (v2ecore/output/aedat2_output.py:19-178),
+* HDF5 — `events` dataset of (N, 4) [t_us, x, y, p].
+"""
+
+from __future__ import annotations
+
+import datetime
+import getpass
+import time as time_mod
+
+import numpy as np
+
+AEDAT2_SIZES = {(346, 260), (692, 520), (1280, 720), (640, 480), (240, 180), (346, 240)}
+
+
+def dense_to_events(pos, neg, ts, iter_valid) -> np.ndarray:
+    """Emulator dense output -> (N, 4) [t, x, y, p(+-1)] sorted by time.
+
+    Accepts either one frame's (I, H, W) maps or a sequence's
+    (T, I, H, W); host-side numpy."""
+    pos = np.asarray(pos)
+    neg = np.asarray(neg)
+    ts = np.asarray(ts).reshape(-1)
+    valid = np.asarray(iter_valid).reshape(-1)
+    shape = pos.shape
+    pos = pos.reshape(-1, shape[-2], shape[-1])
+    neg = neg.reshape(-1, shape[-2], shape[-1])
+    rows = []
+    for i in np.nonzero(valid)[0]:
+        for maps, p in ((pos, 1.0), (neg, -1.0)):
+            ys, xs = np.nonzero(maps[i])
+            if len(ys):
+                t = np.full(len(ys), ts[i])
+                rows.append(np.stack([t, xs.astype(np.float64), ys.astype(np.float64),
+                                      np.full(len(ys), p)], axis=1))
+    if not rows:
+        return np.zeros((0, 4))
+    ev = np.concatenate(rows, axis=0)
+    return ev[np.argsort(ev[:, 0], kind="stable")]
+
+
+def write_events_csv(events: np.ndarray, path: str, header: bool = False) -> None:
+    """(N, 4) [t, x, y, p] -> CSV; polarity written as -1/1."""
+    with open(path, "w") as f:
+        if header:
+            f.write("t,x,y,p\n")
+        for t, x, y, p in events:
+            f.write(f"{t:.9f},{int(x)},{int(y)},{int(p)}\n")
+
+
+def read_events_csv(
+    path: str,
+    timestamp_unit: str = "s",
+    swap_xy: bool = False,
+    force_pos_polarity: bool = True,
+) -> np.ndarray:
+    """CSV -> (N, 4) [t_seconds, x, y, p]. Mirrors e2v.py:120-141:
+    ms/us unit conversion, optional xy swap, polarity collapsed to +1."""
+    import pandas as pd
+
+    df = pd.read_csv(path, header=None, comment="#")
+    ev = df.values.astype(np.float64)[:, :4]
+    scale = {"s": 1.0, "ms": 1e-3, "us": 1e-6}[timestamp_unit]
+    ev[:, 0] *= scale
+    if swap_xy:
+        ev[:, [1, 2]] = ev[:, [2, 1]]
+    if force_pos_polarity:
+        ev[:, 3] = 1.0
+    else:
+        ev[:, 3] = np.where(ev[:, 3] > 0, 1.0, -1.0)
+    return ev
+
+
+class AEDat2Writer:
+    """jAER AEDAT-2.0 binary writer (aedat2_output.py semantics)."""
+
+    Y_SHIFT, X_SHIFT, POL_SHIFT = 22, 12, 11
+
+    def __init__(self, path: str, width: int = 346, height: int = 260):
+        if (width, height) not in AEDAT2_SIZES:
+            raise ValueError(f"unsupported AEDAT2 size {width}x{height}")
+        self.width, self.height = width, height
+        self.f = open(path, "wb")
+        self.num_written = 0
+        self._write_header()
+
+    def _write_header(self):
+        now = datetime.datetime.now().strftime("# Creation time: %I:%M%p %B %d %Y\r\n")
+        lines = [
+            "#!AER-DAT2.0\r\n",
+            "# This is a raw AE data file created by AEDat2Writer "
+            "(spacecraft_pose_estimation_tpu) per "
+            "https://inivation.com/support/software/fileformat/#aedat-20\r\n",
+            "# Data format is int32 address, int32 timestamp (8 bytes total), "
+            "repeated for each event\r\n",
+            "# Timestamps tick is 1 us\r\n",
+            now,
+            f"# Creation time: System.currentTimeMillis() {int(time_mod.time() * 1000)}\r\n",
+            f"# User name: {getpass.getuser()}\r\n",
+        ]
+        for s in lines:
+            self.f.write(s.encode("utf-8"))
+
+    def append(self, events: np.ndarray) -> None:
+        if len(events) == 0:
+            return
+        t = (1e6 * events[:, 0]).astype(np.int32)
+        x = (self.width - 1) - events[:, 1].astype(np.int32)  # flipx
+        y = (self.height - 1) - events[:, 2].astype(np.int32)  # flipy
+        p = ((events[:, 3] + 1) / 2).astype(np.int32)
+        addr = (x << self.X_SHIFT) | (y << self.Y_SHIFT) | (p << self.POL_SHIFT)
+        out = np.empty(2 * len(events), np.int32)
+        out[0::2] = addr
+        out[1::2] = t
+        data = out.byteswap().tobytes()
+        if self.num_written == 0:
+            while data[0:1] == b"#":
+                data = data[8:]
+        self.f.write(data)
+        self.num_written += len(events)
+
+    def close(self):
+        self.f.close()
+
+
+def read_aedat2(path: str, width: int = 346, height: int = 260) -> np.ndarray:
+    """Inverse of AEDat2Writer for round-trip tests."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    offset = 0
+    while raw[offset : offset + 1] == b"#":
+        offset = raw.index(b"\n", offset) + 1
+    data = np.frombuffer(raw[offset:], dtype=">i4").astype(np.int64)
+    addr = data[0::2]
+    t = data[1::2] / 1e6
+    x = (width - 1) - ((addr >> AEDat2Writer.X_SHIFT) & 0x3FF)
+    y = (height - 1) - ((addr >> AEDat2Writer.Y_SHIFT) & 0x1FF)
+    p = 2 * ((addr >> AEDat2Writer.POL_SHIFT) & 1) - 1
+    return np.stack([t, x, y, p], axis=1).astype(np.float64)
+
+
+def write_events_h5(events: np.ndarray, path: str) -> None:
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        ev = events.copy()
+        ev[:, 0] *= 1e6  # us, matching v2e h5 convention
+        f.create_dataset("events", data=ev.astype(np.int64), compression="gzip")
+
+
+def read_events_h5(path: str) -> np.ndarray:
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        ev = f["events"][...].astype(np.float64)
+    ev[:, 0] /= 1e6
+    return ev

@@ -1,0 +1,153 @@
+"""SuperSloMo frame interpolation (v2e/v2ecore/slomo.py + model.py).
+
+Flax implementation of the two-UNet Super SloMo network: a flow-
+computation UNet (2 frames -> bidirectional optical flow F01/F10) and an
+arbitrary-time flow-interpolation UNet (-> refined flows + visibility
+map), plus `backwarp` bilinear warping (model.py:158-348) and the
+`interpolate` schedule that upsamples a frame pair into N intermediate
+frames (slomo.py:231-360).
+
+Upsampling-factor selection mirrors v2e's auto mode: choose N so the
+max flow magnitude is <= 1 px per interpolated frame.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+
+def leaky(x):
+    return nn.leaky_relu(x, 0.1)
+
+
+class Down(nn.Module):
+    features: int
+    kernel: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        x = leaky(nn.Conv(self.features, (self.kernel, self.kernel), padding="SAME")(x))
+        x = leaky(nn.Conv(self.features, (self.kernel, self.kernel), padding="SAME")(x))
+        return x
+
+
+class Up(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x, skip):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), "bilinear")
+        x = leaky(nn.Conv(self.features, (3, 3), padding="SAME")(x))
+        x = jnp.concatenate([x, skip], axis=-1)
+        x = leaky(nn.Conv(self.features, (3, 3), padding="SAME")(x))
+        return x
+
+
+class UNet(nn.Module):
+    """The Super SloMo UNet topology (model.py:229-307)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        x1 = leaky(nn.Conv(32, (7, 7), padding="SAME")(x))
+        x1 = leaky(nn.Conv(32, (7, 7), padding="SAME")(x1))
+        x2 = Down(64, 5)(x1)
+        x3 = Down(128, 3)(x2)
+        x4 = Down(256, 3)(x3)
+        x5 = Down(512, 3)(x4)
+        x6 = Down(512, 3)(x5)
+        u = Up(512)(x6, x5)
+        u = Up(256)(u, x4)
+        u = Up(128)(u, x3)
+        u = Up(64)(u, x2)
+        u = Up(32)(u, x1)
+        return leaky(nn.Conv(self.out_channels, (3, 3), padding="SAME")(u))
+
+
+def backwarp(img: Array, flow: Array) -> Array:
+    """Warp img (B,H,W,C) backwards along flow (B,H,W,2) [u, v]."""
+    b, h, w, _ = img.shape
+    xs = jax.lax.broadcasted_iota(jnp.float32, (b, h, w), 2) + flow[..., 0]
+    ys = jax.lax.broadcasted_iota(jnp.float32, (b, h, w), 1) + flow[..., 1]
+
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    fx = (xs - x0)[..., None]
+    fy = (ys - y0)[..., None]
+
+    def gather(yi, xi):
+        yi_c = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
+        xi_c = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
+        batch_idx = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 0)
+        return img[batch_idx, yi_c, xi_c]
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+class SuperSloMo(nn.Module):
+    """Bundled flow-comp + arbitrary-time interpolation networks."""
+
+    @nn.compact
+    def __call__(self, frame0: Array, frame1: Array, t: Array) -> Array:
+        """Interpolate at fractional time t in (0, 1). Frames are
+        (B, H, W, C) in [0, 1]; C=1 (luma) or 3."""
+        x = jnp.concatenate([frame0, frame1], axis=-1)
+        flow_out = UNet(4, name="flow_comp")(x)
+        f01 = flow_out[..., 0:2]
+        f10 = flow_out[..., 2:4]
+
+        t = jnp.reshape(t, (-1, 1, 1, 1))
+        ft0_hat = -(1 - t) * t * f01 + t * t * f10
+        ft1_hat = (1 - t) * (1 - t) * f01 - t * (1 - t) * f10
+
+        g0 = backwarp(frame0, ft0_hat)
+        g1 = backwarp(frame1, ft1_hat)
+
+        interp_in = jnp.concatenate(
+            [frame0, frame1, f01, f10, ft1_hat, ft0_hat, g1, g0], axis=-1
+        )
+        interp_out = UNet(5, name="arb_interp")(interp_in)
+        ft0 = interp_out[..., 0:2] + ft0_hat
+        ft1 = interp_out[..., 2:4] + ft1_hat
+        v0 = jax.nn.sigmoid(interp_out[..., 4:5])
+        v1 = 1 - v0
+
+        g0r = backwarp(frame0, ft0)
+        g1r = backwarp(frame1, ft1)
+        wgt0 = (1 - t) * v0
+        wgt1 = t * v1
+        return (wgt0 * g0r + wgt1 * g1r) / jnp.maximum(wgt0 + wgt1, 1e-8)
+
+
+def interpolate_pair(model, variables, frame0: Array, frame1: Array, n: int) -> Array:
+    """frame pair -> n intermediate frames at t = (i+1)/(n+1)."""
+    ts = (jnp.arange(n) + 1) / (n + 1)
+
+    def one(t):
+        return model.apply(variables, frame0, frame1, jnp.full((frame0.shape[0],), t))
+
+    return jax.vmap(one)(ts)  # (n, B, H, W, C)
+
+
+def auto_upsampling_factor(max_flow_px: Array, limit_px: float = 1.0) -> Array:
+    """v2e --auto_timestamp_resolution: interpolate so max flow <= 1 px
+    per interpolated frame (slomo.py auto-upsample)."""
+    return jnp.maximum(jnp.ceil(max_flow_px / limit_px).astype(jnp.int32), 1)
