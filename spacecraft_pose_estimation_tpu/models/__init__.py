@@ -4,7 +4,14 @@ Registry mirrors the reference's ``models.<NAME>.get_pose_net`` lookup
 (landmark_regression/tools/train.py) with a plain dict.
 """
 
-from .hrnet import HRNet, HRNetConfig, POSE_HRNET_W32, HRNET_CMS, HRNET_CMS_384
+from .hrnet import (
+    HRNET_CMS,
+    HRNET_CMS_384,
+    HRNET_TINY,
+    HRNet,
+    HRNetConfig,
+    POSE_HRNET_W32,
+)
 from .pose_resnet import PoseResNet, PoseResNetConfig
 from .discriminator import MultiScaleDiscriminator
 
@@ -17,6 +24,8 @@ def build_landmark_model(name: str, num_joints: int, **kwargs):
         return HRNet(config=HRNET_CMS.with_joints(num_joints), **kwargs)
     if name == "hrnet_cms_384":
         return HRNet(config=HRNET_CMS_384.with_joints(num_joints), **kwargs)
+    if name == "hrnet_tiny":  # CPU test/CI config
+        return HRNet(config=HRNET_TINY.with_joints(num_joints), **kwargs)
     if name == "pose_resnet":
         return PoseResNet(config=PoseResNetConfig(num_joints=num_joints), **kwargs)
     raise ValueError(f"unknown landmark model: {name}")

@@ -62,15 +62,26 @@ class CheckpointManager:
         step = step if step is not None else self.latest_step()
         if step is None:
             return None
-        payload = self._mgr.restore(
-            step, args=ocp.args.StandardRestore({"state": to_saveable(state_template)})
-        )
+        try:
+            payload = self._mgr.restore(
+                step, args=ocp.args.StandardRestore({"state": to_saveable(state_template)})
+            )
+            restored = from_saveable(state_template, payload["state"])
+        except ValueError:
+            # Optimizer structure differs from the saved one (e.g. eval
+            # tools restore with a placeholder optimizer): restore raw and
+            # take params/batch_stats/step, keep the template's opt_state.
+            payload = self._mgr.restore(step)
+            raw = payload["state"]
+            kwargs = {"step": jax.numpy.asarray(raw["step"]), "params": raw["params"]}
+            if hasattr(state_template, "batch_stats") and "batch_stats" in raw:
+                kwargs["batch_stats"] = raw["batch_stats"]
+            restored = state_template.replace(**kwargs)
         meta_path = os.path.join(self.directory, f"meta_{step}.json")
         metadata = {}
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 metadata = json.load(f)
-        restored = from_saveable(state_template, payload["state"])
         return restored, metadata, step
 
     def close(self):
@@ -80,21 +91,21 @@ class CheckpointManager:
 def to_saveable(state: Any):
     """TrainState (or pytree) -> plain dict of arrays orbax can store."""
     if hasattr(state, "params"):
-        return {
-            "step": state.step,
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state,
-        }
+        out = {"step": state.step, "params": state.params, "opt_state": state.opt_state}
+        if hasattr(state, "batch_stats"):
+            out["batch_stats"] = state.batch_stats
+        return out
     return state
 
 
 def from_saveable(template: Any, payload):
     if hasattr(template, "params"):
-        return template.replace(
-            step=payload["step"],
-            params=payload["params"],
-            batch_stats=payload["batch_stats"],
-            opt_state=payload["opt_state"],
-        )
+        kwargs = {
+            "step": payload["step"],
+            "params": payload["params"],
+            "opt_state": payload["opt_state"],
+        }
+        if hasattr(template, "batch_stats") and "batch_stats" in payload:
+            kwargs["batch_stats"] = payload["batch_stats"]
+        return template.replace(**kwargs)
     return payload

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Keypoints + calibration -> 6-DoF poses (export_predicted_poses_real.py).
+
+Loads the 3-D landmark CSV, calibration json, detection COCO json and
+pred.mat keypoints; per frame applies the adaptive confidence gate and
+the batched RANSAC-EPnP solver, writes opencv_poses.json and optional
+reprojection overlay JPEGs.
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spacecraft_pose_estimation_tpu.utils import maybe_force_platform
+
+maybe_force_platform()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames-dir", required=True)
+    ap.add_argument("--detection-annotations", required=True)
+    ap.add_argument("--pose-annotations", required=True, help="pred.mat keypoints")
+    ap.add_argument("--landmarks-file", required=True)
+    ap.add_argument("--calibration-file", required=True)
+    ap.add_argument("--output-dir", required=True)
+    ap.add_argument("--solver", choices=["ransac", "gn"], default="ransac")
+    ap.add_argument("--hypotheses", type=int, default=512)
+    ap.add_argument("--no-render", action="store_true")
+    args = ap.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spacecraft_pose_estimation_tpu.data import coco_io
+    from spacecraft_pose_estimation_tpu.data.camera import CameraModel
+    from spacecraft_pose_estimation_tpu.ops import pnp
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    landmarks = coco_io.load_landmarks_csv(args.landmarks_file)
+    cam = CameraModel.from_calibration_json(args.calibration_file)
+    coco = coco_io.load_coco(args.detection_annotations)
+    image_names = {im["id"]: im["file_name"] for im in coco["images"]}
+    image_ids = [im["id"] for im in coco["images"]]
+    preds = coco_io.load_pred_mat(args.pose_annotations)  # (N, J, 3)
+
+    K = jnp.asarray(cam.K, jnp.float32)
+    dist = jnp.asarray(cam.dist, jnp.float32)
+    lm = jnp.asarray(landmarks, jnp.float32)
+
+    if args.solver == "ransac":
+        solve = jax.jit(
+            jax.vmap(
+                lambda kp, conf, key: pnp.pnp_ransac(
+                    lm, kp, K, dist, conf, key, num_hypotheses=args.hypotheses
+                )
+            )
+        )
+        keys = jax.random.split(jax.random.key(0), len(preds))
+        out = solve(
+            jnp.asarray(preds[:, :, :2], jnp.float32),
+            jnp.asarray(preds[:, :, 2], jnp.float32),
+            keys,
+        )
+        Rs, ts = np.asarray(out["R"], np.float64), np.asarray(out["t"], np.float64)
+    else:
+        solve = jax.jit(
+            jax.vmap(
+                lambda kp, conf: pnp.solve_pnp(
+                    lm, kp, K, dist,
+                    pnp.adaptive_confidence_mask(conf).astype(jnp.float32),
+                )
+            )
+        )
+        Rs, ts = solve(
+            jnp.asarray(preds[:, :, :2], jnp.float32),
+            jnp.asarray(preds[:, :, 2], jnp.float32),
+        )
+        Rs, ts = np.asarray(Rs, np.float64), np.asarray(ts, np.float64)
+
+    names = [image_names[i] for i in image_ids[: len(preds)]]
+    coco_io.save_opencv_poses(
+        names, Rs, ts, os.path.join(args.output_dir, "opencv_poses.json")
+    )
+
+    if not args.no_render:
+        import cv2
+
+        anns = coco["annotations"]
+        for i, name in enumerate(names):
+            img = cv2.imread(os.path.join(args.frames_dir, name))
+            if img is None:
+                continue
+            uv = coco_io.project_landmarks(landmarks, Rs[i], ts[i], cam.K, cam.dist)
+            if i < len(anns):
+                b = [int(v) for v in anns[i]["bbox"]]
+                cv2.rectangle(img, (b[0], b[1]), (b[0] + b[2], b[1] + b[3]), (0, 255, 0), 2)
+            for x, y in uv:
+                cv2.circle(img, (int(x), int(y)), 5, (255, 0, 0), -1)
+            out_name = os.path.basename(name).split(".")[0] + ".jpg"
+            cv2.imwrite(os.path.join(args.output_dir, out_name), img)
+
+    print(f"wrote {args.output_dir}/opencv_poses.json ({len(names)} poses)")
+
+
+if __name__ == "__main__":
+    main()

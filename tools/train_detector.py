@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Train the spacecraft detector (train_object_detection.py equivalent).
+
+Builds the X101-FPN Faster R-CNN (config_4 semantics) or RetinaNet, the
+detectron2-style SGD multistep+warmup schedule, and runs the hook-driven
+trainer with periodic COCO evaluation (COCOEvaluator with
+max_dets_per_image=1, matching train_object_detection.py:56).
+"""
+
+import argparse
+import itertools
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spacecraft_pose_estimation_tpu.utils import maybe_force_platform
+
+maybe_force_platform()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train-json", required=True)
+    ap.add_argument("--val-json", default=None)
+    ap.add_argument("--image-dir", required=True)
+    ap.add_argument("--output", default="output/detector")
+    ap.add_argument("--arch", choices=["faster_rcnn", "retinanet"], default="faster_rcnn")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--input-size", type=int, default=768)
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--max-iter", type=int, default=6000)
+    ap.add_argument("--lr", type=float, default=0.00025)
+    ap.add_argument("--eval-period", type=int, default=1000)
+    ap.add_argument("--checkpoint-period", type=int, default=1000)
+    args = ap.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    logger = logging.getLogger("train_detector")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spacecraft_pose_estimation_tpu.data.coco_eval import (
+        evaluate_detections,
+        padded_detections_to_list,
+    )
+    from spacecraft_pose_estimation_tpu.data.detection_dataset import (
+        DetectionExamples,
+        detection_batches,
+        letterbox,
+    )
+    from spacecraft_pose_estimation_tpu.models.rcnn import (
+        FASTER_RCNN_X101_SPACECRAFT,
+        RCNN_TINY,
+        GeneralizedRCNN,
+    )
+    from spacecraft_pose_estimation_tpu.models.retinanet import (
+        RETINANET_TINY,
+        RetinaNet,
+        RetinaNetConfig,
+    )
+    from spacecraft_pose_estimation_tpu.train.checkpoint import CheckpointManager
+    from spacecraft_pose_estimation_tpu.train.detection_state import (
+        DetTrainState,
+        make_detection_train_step,
+    )
+    from spacecraft_pose_estimation_tpu.train.metrics import JSONWriter, MetricStorage, TerminalPrinter
+    from spacecraft_pose_estimation_tpu.train.optim import build_optimizer, multistep_schedule
+    from spacecraft_pose_estimation_tpu.train.trainer import (
+        IterationTimer,
+        PeriodicCheckpointer,
+        PeriodicWriter,
+        Trainer,
+    )
+
+    size = args.input_size
+    if args.arch == "faster_rcnn":
+        model = GeneralizedRCNN(
+            config=RCNN_TINY if args.tiny else FASTER_RCNN_X101_SPACECRAFT,
+            dtype=jnp.bfloat16,
+        )
+        needs_rng = True
+        init_rngs = {"params": jax.random.key(0), "sampling": jax.random.key(1)}
+    else:
+        model = RetinaNet(
+            config=RETINANET_TINY if args.tiny else RetinaNetConfig(num_classes=1),
+            dtype=jnp.bfloat16,
+        )
+        needs_rng = False
+        init_rngs = {"params": jax.random.key(0)}
+
+    variables = model.init(init_rngs, jnp.zeros((1, size, size, 3)), train=False)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    logger.info("model params: %.2fM", n_params / 1e6)
+
+    # detectron2 3x-style schedule scaled to max_iter
+    milestones = [int(args.max_iter * 0.67), int(args.max_iter * 0.89)]
+    tx = build_optimizer(
+        "sgd",
+        multistep_schedule(args.lr, milestones, 0.1, warmup_steps=min(1000, args.max_iter // 10)),
+        weight_decay=1e-4,
+        momentum=0.9,
+        grad_clip_norm=None,
+    )
+    state = DetTrainState.create(model, variables, tx)
+    mgr = CheckpointManager(os.path.join(args.output, "checkpoints"))
+    restored = mgr.restore(state)
+    start_iter = 0
+    if restored:
+        state, _, start_iter = restored
+        logger.info("resumed at iter %d", start_iter)
+
+    examples = DetectionExamples(args.train_json, args.image_dir)
+    data = detection_batches(
+        examples, args.batch_size, (size, size), train=True,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
+
+    raw_step = jax.jit(make_detection_train_step(needs_rng))
+    base_key = jax.random.key(42)
+
+    def step_fn(state, batch):
+        key = jax.random.fold_in(base_key, int(state.step))
+        jb = {k: jnp.asarray(v) for k, v in batch.items() if k not in ("image_id", "scale")}
+        return raw_step(state, jb, key)
+
+    storage = MetricStorage()
+    hooks = [
+        IterationTimer(),
+        PeriodicWriter(
+            [JSONWriter(os.path.join(args.output, "metrics.json")), TerminalPrinter(args.max_iter)],
+            period=20,
+        ),
+        PeriodicCheckpointer(mgr, args.checkpoint_period),
+    ]
+
+    trainer = Trainer(step_fn, state, data, hooks, storage)
+
+    if args.val_json:
+        val_examples = DetectionExamples(args.val_json, args.image_dir)
+        infer = jax.jit(lambda v, x: model.apply(v, x, train=False))
+
+        def run_eval(tr):
+            dets_all, gts_all = [], []
+            for batch in detection_batches(
+                val_examples, args.batch_size, (size, size), train=False, augment=False
+            ):
+                dets = infer({"params": tr.state.params}, jnp.asarray(batch["image"]))
+                dets = jax.tree_util.tree_map(np.asarray, dets)
+                dets_all.extend(padded_detections_to_list(dets))
+                for i in range(len(batch["image_id"])):
+                    gts_all.append({"boxes": batch["gt_boxes"][i][batch["gt_valid"][i]]})
+            res = evaluate_detections(dets_all, gts_all, max_dets=1)
+            logger.info("eval: %s", res)
+            return {f"bbox/{k}": v for k, v in res.items() if np.isfinite(v)}
+
+        from spacecraft_pose_estimation_tpu.train.trainer import EvalHook
+
+        trainer.hooks.append(EvalHook(args.eval_period, run_eval))
+
+    trainer.train(start_iter, args.max_iter)
+    mgr.save(trainer.iteration, trainer.state, {"final": True})
+    logger.info("done")
+
+
+if __name__ == "__main__":
+    main()

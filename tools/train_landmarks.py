@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Train a landmark-regression model (tools/train.py equivalent).
+
+Usage:
+  python tools/train_landmarks.py --preset events \
+      --train-json data/events/train.json --val-json data/events/validation.json \
+      --image-dir data/frames --output output/events \
+      [TRAIN.LR 0.001 TRAIN.END_EPOCH 40 ...]
+
+Covers the reference flow (landmark_regression/tools/train.py:77-220):
+config resolve -> model build -> optimizer + MultiStep schedule ->
+epoch loop with per-epoch validation -> periodic/best checkpoints ->
+final state save. AUTO_RESUME restores the latest checkpoint.
+"""
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spacecraft_pose_estimation_tpu.utils import maybe_force_platform
+
+maybe_force_platform()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="events")
+    ap.add_argument("--cfg", default=None, help="YAML config overriding the preset")
+    ap.add_argument("--train-json", required=True)
+    ap.add_argument("--val-json", default=None)
+    ap.add_argument("--image-dir", required=True)
+    ap.add_argument("--output", default="output")
+    ap.add_argument("opts", nargs="*", help="KEY VALUE override pairs")
+    args = ap.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    logger = logging.getLogger("train_landmarks")
+
+    import jax
+    import jax.numpy as jnp
+
+    from spacecraft_pose_estimation_tpu import config as C
+    from spacecraft_pose_estimation_tpu.data.landmark_dataset import (
+        LandmarkExamples,
+        batch_iterator,
+    )
+    from spacecraft_pose_estimation_tpu.models import build_landmark_model
+    from spacecraft_pose_estimation_tpu.train import landmark_loop
+    from spacecraft_pose_estimation_tpu.train.checkpoint import CheckpointManager
+    from spacecraft_pose_estimation_tpu.train.metrics import (
+        JSONWriter,
+        MetricStorage,
+        TensorboardWriter,
+    )
+    from spacecraft_pose_estimation_tpu.train.optim import (
+        build_optimizer,
+        multistep_schedule,
+    )
+    from spacecraft_pose_estimation_tpu.train.state import TrainState, make_train_step
+
+    cfg = C.get_preset(args.preset)
+    if args.cfg:
+        cfg = C.load_yaml(cfg, args.cfg)
+    cfg = C.apply_overrides(cfg, args.opts)
+    logger.info("config: %s", cfg)
+
+    train_examples = LandmarkExamples(args.train_json, args.image_dir)
+    num_joints = train_examples.num_joints
+    dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+    model = build_landmark_model(cfg.model.name, num_joints, dtype=dtype)
+
+    img_w, img_h = cfg.model.image_size
+    variables = model.init(
+        jax.random.key(cfg.seed), jnp.zeros((1, img_h, img_w, 3)), train=True
+    )
+
+    batch = cfg.train.batch_size_per_chip
+    steps_per_epoch = max(len(train_examples) // batch, 1)
+    # per-epoch LR milestones -> per-step (MultiStepLR semantics)
+    milestones = [m * steps_per_epoch for m in cfg.train.lr_step]
+    tx = build_optimizer(
+        cfg.train.optimizer,
+        multistep_schedule(cfg.train.lr, milestones, cfg.train.lr_factor),
+        weight_decay=cfg.train.wd,
+        momentum=cfg.train.momentum,
+        nesterov=cfg.train.nesterov,
+    )
+    state = TrainState.create(model, variables, tx)
+
+    mgr = CheckpointManager(os.path.join(args.output, "checkpoints"))
+    begin_epoch = cfg.train.begin_epoch
+    if cfg.train.auto_resume:
+        restored = mgr.restore(state)
+        if restored:
+            state, meta, step_no = restored
+            begin_epoch = meta.get("epoch", 0) + 1
+            logger.info("resumed from step %d (epoch %d)", step_no, begin_epoch)
+
+    step_fn = jax.jit(make_train_step(cfg.loss.use_target_weight))
+    storage = MetricStorage()
+    writers = [
+        JSONWriter(os.path.join(args.output, "metrics.json")),
+        TensorboardWriter(os.path.join(args.output, "tb")),
+    ]
+    data_iter = batch_iterator(train_examples, batch, shuffle=cfg.train.shuffle, seed=cfg.seed)
+
+    transform_kwargs = dict(
+        image_size=tuple(cfg.model.image_size),
+        heatmap_size=tuple(cfg.model.heatmap_size),
+        sigma=cfg.model.sigma,
+        train=True,
+        scale_factor=cfg.dataset.scale_factor,
+        rot_factor=cfg.dataset.rot_factor,
+    )
+    base_key = jax.random.key(cfg.seed + 1)
+
+    val_examples = LandmarkExamples(args.val_json, args.image_dir) if args.val_json else None
+
+    for epoch in range(begin_epoch, cfg.train.end_epoch):
+        state = landmark_loop.train_epoch(
+            step_fn, state, data_iter, steps_per_epoch, storage,
+            transform_kwargs, base_key, print_freq=cfg.print_freq,
+        )
+        for w in writers:
+            w.write(storage)
+        mgr.save(int(state.step), state, {"epoch": epoch})
+        if val_examples is not None:
+            preds = landmark_loop.validate(
+                model,
+                {"params": state.params, "batch_stats": state.batch_stats},
+                val_examples,
+                cfg.test.batch_size_per_chip,
+                tuple(cfg.model.image_size),
+                output_path=os.path.join(args.output, "pred_val.mat"),
+                flip_test=cfg.test.flip_test,
+                post_process=cfg.test.post_process,
+                shift_heatmap=cfg.test.shift_heatmap,
+            )
+            mean_conf = float(preds[:, :, 2].mean())
+            storage.put_scalar("val_mean_conf", mean_conf)
+            if mgr.save_best(int(state.step), mean_conf):
+                logger.info("new best at epoch %d", epoch)
+        logger.info("epoch %d done (step %d)", epoch, int(state.step))
+
+    mgr.save(int(state.step), state, {"epoch": cfg.train.end_epoch - 1, "final": True})
+    for w in writers:
+        w.close()
+    logger.info("training complete")
+
+
+if __name__ == "__main__":
+    main()
