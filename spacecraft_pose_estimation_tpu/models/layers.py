@@ -32,11 +32,14 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # explicit symmetric k//2 padding: identical to 'SAME' at stride 1
+        # but matches torch Conv2d(padding=k//2) at stride 2 (where XLA
+        # 'SAME' pads asymmetrically on even inputs)
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding="SAME" if self.kernel > 1 else "VALID",
+            padding=self.kernel // 2,
             use_bias=False,
             dtype=self.dtype,
             name="conv",
