@@ -17,7 +17,51 @@ directly (see `evaluate_detections`).
 
 from __future__ import annotations
 
+import ctypes
+import os
+
 import numpy as np
+
+_NATIVE = None
+
+
+def _load_native():
+    """Load the C++ accelerator (native/libcocoeval.so) if built."""
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE or None
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native",
+        "libcocoeval.so",
+    )
+    if not os.path.exists(path):
+        _NATIVE = False
+        return None
+    lib = ctypes.CDLL(path)
+    lib.spe_match_image.restype = ctypes.c_int
+    lib.spe_match_image.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.spe_accumulate.restype = ctypes.c_int
+    lib.spe_accumulate.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ]
+    _NATIVE = lib
+    return lib
+
+
+def _dptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def _u8ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 IOU_THRS = np.linspace(0.5, 0.95, 10)
 REC_THRS = np.linspace(0.0, 1.0, 101)
@@ -107,10 +151,39 @@ def _ap_from_matches(all_matched, all_ignored, all_scores, total_gt):
     return ap, max_recall
 
 
+def _match_image_native(lib, det_boxes, det_scores, gt_boxes, iou_thr, area_range, max_dets):
+    order = np.argsort(-det_scores, kind="stable")[:max_dets]
+    db = np.ascontiguousarray(det_boxes[order], np.float64)
+    gb = np.ascontiguousarray(gt_boxes, np.float64)
+    matched = np.zeros(len(db), np.uint8)
+    ignored = np.zeros(len(db), np.uint8)
+    num_gt = lib.spe_match_image(
+        _dptr(db), len(db), _dptr(gb), len(gb),
+        float(iou_thr), float(area_range[0]), float(area_range[1]),
+        _u8ptr(matched), _u8ptr(ignored),
+    )
+    return matched.astype(bool), ignored.astype(bool), det_scores[order], int(num_gt)
+
+
+def _ap_native(lib, all_matched, all_ignored, all_scores, total_gt):
+    scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
+    matched = np.concatenate(all_matched) if all_matched else np.zeros(0, bool)
+    ignored = np.concatenate(all_ignored) if all_ignored else np.zeros(0, bool)
+    order = np.argsort(-scores, kind="stable")
+    m = np.ascontiguousarray(matched[order].astype(np.uint8))
+    ig = np.ascontiguousarray(ignored[order].astype(np.uint8))
+    ap = ctypes.c_double()
+    mr = ctypes.c_double()
+    lib.spe_accumulate(_u8ptr(m), _u8ptr(ig), len(m), int(total_gt),
+                       ctypes.byref(ap), ctypes.byref(mr))
+    return ap.value, mr.value
+
+
 def evaluate_detections(
     detections: list[dict],
     ground_truths: list[dict],
     max_dets: int = 100,
+    backend: str = "auto",
 ) -> dict[str, float]:
     """Evaluate one category of detections.
 
@@ -123,6 +196,9 @@ def evaluate_detections(
     Returns summary dict: AP, AP50, AP75, APs/m/l, AR@max_dets.
     """
     assert len(detections) == len(ground_truths)
+    lib = _load_native() if backend in ("auto", "native") else None
+    if backend == "native" and lib is None:
+        raise RuntimeError("native cocoeval not built (make -C native)")
     results = {}
     ap_per_iou = {}
     for area_name, area_range in AREA_RANGES.items():
@@ -131,19 +207,25 @@ def evaluate_detections(
             all_matched, all_ignored, all_scores = [], [], []
             total_gt = 0
             for det, gt in zip(detections, ground_truths):
-                m, ig, sc, ng = _match_image(
-                    np.asarray(det["boxes"], np.float64),
-                    np.asarray(det["scores"], np.float64),
-                    np.asarray(gt["boxes"], np.float64).reshape(-1, 4),
-                    t,
-                    area_range,
-                    max_dets,
-                )
+                det_b = np.asarray(det["boxes"], np.float64)
+                det_s = np.asarray(det["scores"], np.float64)
+                gt_b = np.asarray(gt["boxes"], np.float64).reshape(-1, 4)
+                if lib is not None:
+                    m, ig, sc, ng = _match_image_native(
+                        lib, det_b, det_s, gt_b, t, area_range, max_dets
+                    )
+                else:
+                    m, ig, sc, ng = _match_image(
+                        det_b, det_s, gt_b, t, area_range, max_dets
+                    )
                 all_matched.append(m)
                 all_ignored.append(ig)
                 all_scores.append(sc)
                 total_gt += ng
-            ap, ar = _ap_from_matches(all_matched, all_ignored, all_scores, total_gt)
+            if lib is not None:
+                ap, ar = _ap_native(lib, all_matched, all_ignored, all_scores, total_gt)
+            else:
+                ap, ar = _ap_from_matches(all_matched, all_ignored, all_scores, total_gt)
             aps.append(ap)
             ars.append(ar)
             if area_name == "all":

@@ -93,6 +93,34 @@ class TestAreasAndMaxDets:
         assert res2["AP"] > res1["AP"]
 
 
+class TestNativeBackend:
+    def test_native_matches_numpy(self):
+        import os
+        import subprocess
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        subprocess.run(["make", "-C", os.path.join(root, "native")], check=True,
+                       capture_output=True)
+        rng = np.random.default_rng(7)
+        dets, gts = [], []
+        for _ in range(8):
+            ng = rng.integers(1, 4)
+            g = np.concatenate([rng.uniform(0, 200, (ng, 2)), rng.uniform(20, 120, (ng, 2))], 1)
+            g[:, 2:] += g[:, :2]
+            d = np.concatenate([g + rng.normal(0, 5, g.shape),
+                                rng.uniform(0, 300, (2, 4))])
+            d[:, 2:] = np.maximum(d[:, 2:], d[:, :2] + 1)
+            dets.append({"boxes": d, "scores": rng.uniform(0, 1, len(d))})
+            gts.append({"boxes": g})
+        r_np = evaluate_detections(dets, gts, backend="numpy")
+        r_cc = evaluate_detections(dets, gts, backend="native")
+        for k in r_np:
+            if np.isnan(r_np[k]):
+                assert np.isnan(r_cc[k])
+            else:
+                assert abs(r_np[k] - r_cc[k]) < 1e-9, k
+
+
 class TestHelpers:
     def test_iou(self):
         a = np.array([[0, 0, 10, 10]], np.float64)
