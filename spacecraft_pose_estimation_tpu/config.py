@@ -199,6 +199,40 @@ def auto_scale_workers(cfg: ExperimentConfig, world_size: int) -> ExperimentConf
 
 
 # ---------------------------------------------------------------------------
+# LazyConfig-style recursive instantiation (config/lazy.py, instantiate.py)
+# ---------------------------------------------------------------------------
+
+
+def instantiate(node: Any):
+    """Recursively build objects from {"_target_": "pkg.mod.Obj", ...}
+    nodes (detectron2 LazyConfig `instantiate`, instantiate.py:37)."""
+    if isinstance(node, dict):
+        built = {k: instantiate(v) for k, v in node.items() if k != "_target_"}
+        if "_target_" in node:
+            target = node["_target_"]
+            if isinstance(target, str):
+                module, _, name = target.rpartition(".")
+                import importlib
+
+                target = getattr(importlib.import_module(module), name)
+            return target(**built)
+        return built
+    if isinstance(node, (list, tuple)):
+        return type(node)(instantiate(v) for v in node)
+    return node
+
+
+class LazyCall:
+    """`LazyCall(Obj)(a=1)` -> an instantiate-able dict (config/lazy.py:25)."""
+
+    def __init__(self, target):
+        self._target = target
+
+    def __call__(self, **kwargs):
+        return {"_target_": self._target, **kwargs}
+
+
+# ---------------------------------------------------------------------------
 # Preset registry (the reference's experiment matrix)
 # ---------------------------------------------------------------------------
 

@@ -346,6 +346,28 @@ def random_erasing(key: Array, img: Array, min_frac=0.05, max_frac=0.3) -> Array
     return jnp.where(inside[..., None], 0.0, img)
 
 
+def color_jitter(
+    key: Array,
+    img: Array,
+    brightness: float = 0.4,
+    contrast: float = 0.4,
+    saturation: float = 0.4,
+) -> Array:
+    """torchvision ColorJitter equivalent (the train_rgb.py variant's
+    extra aug): random brightness/contrast/saturation factors applied in
+    random order is approximated by a fixed order (b, c, s)."""
+    kb, kc, ks = jax.random.split(key, 3)
+    b = jax.random.uniform(kb, (), minval=1 - brightness, maxval=1 + brightness)
+    c = jax.random.uniform(kc, (), minval=1 - contrast, maxval=1 + contrast)
+    s = jax.random.uniform(ks, (), minval=1 - saturation, maxval=1 + saturation)
+    img = img * b
+    mean = jnp.mean(img, axis=(0, 1, 2), keepdims=True)
+    img = (img - mean) * c + mean
+    grey = jnp.mean(img, axis=-1, keepdims=True)
+    img = (img - grey) * s + grey
+    return jnp.clip(img, 0.0, 255.0)
+
+
 # ---------------------------------------------------------------------------
 # Stacks (per-domain pipelines, train_da_ms.py:145-166 equivalents)
 # ---------------------------------------------------------------------------

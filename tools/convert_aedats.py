@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Real event recordings -> undistorted event frames per scene
+(v2e/convert_aedats.py + aedat_to_csv.py equivalents).
+
+Supports AEDAT-2.0 (our binary reader) and events CSV inputs; AEDAT-4
+requires the `aedat` package (not bundled) — a clear error is raised.
+Each recording becomes events CSV -> duration-exposure frames ->
+cv2.undistort with the calibration intrinsics.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spacecraft_pose_estimation_tpu.utils import maybe_force_platform
+
+maybe_force_platform()
+
+
+def load_events(path: str, width: int, height: int):
+    from spacecraft_pose_estimation_tpu.events import io as ev_io
+
+    if path.endswith((".aedat", ".aedat2")):
+        return ev_io.read_aedat2(path, width, height)
+    if path.endswith(".csv"):
+        return ev_io.read_events_csv(path, force_pos_polarity=False)
+    if path.endswith(".aedat4"):
+        try:
+            import aedat  # noqa: F401
+        except ImportError as e:
+            raise SystemExit(
+                "AEDAT-4 decoding needs the `aedat` package (not bundled in "
+                "this image); convert to CSV first or record AEDAT-2.0"
+            ) from e
+        import numpy as np
+
+        decoder = aedat.Decoder(path)
+        rows = []
+        for packet in decoder:
+            if "events" in packet:
+                ev = packet["events"]
+                rows.append(
+                    np.stack(
+                        [ev["t"] / 1e6, ev["x"], ev["y"], 2 * ev["on"].astype(np.int64) - 1],
+                        axis=1,
+                    )
+                )
+        return np.concatenate(rows) if rows else np.zeros((0, 4))
+    raise SystemExit(f"unsupported recording format: {path}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--recordings-dir", required=True)
+    ap.add_argument("--output-dir", required=True)
+    ap.add_argument("--calibration-file", required=True)
+    ap.add_argument("--width", type=int, default=346)
+    ap.add_argument("--height", type=int, default=260)
+    ap.add_argument("--exposure", type=float, default=0.01)
+    args = ap.parse_args()
+
+    import cv2
+    import numpy as np
+
+    from spacecraft_pose_estimation_tpu.data.camera import CameraModel
+    from spacecraft_pose_estimation_tpu.events import io as ev_io
+    from spacecraft_pose_estimation_tpu.events.renderer import normalize_frame
+
+    cam = CameraModel.from_calibration_json(args.calibration_file)
+
+    recs = sorted(
+        f for f in os.listdir(args.recordings_dir)
+        if f.endswith((".aedat", ".aedat2", ".aedat4", ".csv"))
+    )
+    for rec in recs:
+        scene = os.path.splitext(rec)[0]
+        out = os.path.join(args.output_dir, scene)
+        os.makedirs(out, exist_ok=True)
+        events = load_events(os.path.join(args.recordings_dir, rec), args.width, args.height)
+        ev_io.write_events_csv(events, os.path.join(out, "events.csv"))
+        if len(events) == 0:
+            continue
+        t0 = events[0, 0]
+        bins = np.floor((events[:, 0] - t0) / args.exposure).astype(np.int64)
+        for fidx in range(int(bins.max()) + 1):
+            sel = events[bins == fidx]
+            acc = np.zeros((args.height, args.width), np.float64)
+            if len(sel):
+                np.add.at(
+                    acc,
+                    (sel[:, 2].astype(np.int64).clip(0, args.height - 1),
+                     sel[:, 1].astype(np.int64).clip(0, args.width - 1)),
+                    sel[:, 3],
+                )
+            img = (normalize_frame(np.clip(acc, -3, 3), 3) * 255).astype(np.uint8)
+            img = cv2.undistort(img, cam.K, cam.dist)
+            t_ms = (t0 + (fidx + 1) * args.exposure) * 1e3
+            cv2.imwrite(
+                os.path.join(out, f"{t_ms:.0f}.bmp"),
+                cv2.cvtColor(img, cv2.COLOR_GRAY2BGR),
+            )
+        print(f"{scene}: {len(events)} events -> {int(bins.max()) + 1} frames")
+
+
+if __name__ == "__main__":
+    main()
