@@ -98,7 +98,8 @@ class TestDeformConv:
     def test_integer_offset_shifts_sampling(self):
         x = jnp.zeros((6, 6, 1)).at[3, 4, 0].set(1.0)
         kernel = jnp.zeros((3, 3, 1, 1)).at[1, 1, 0, 0].set(1.0)  # identity tap
-        offsets = jnp.zeros((6, 6, 18)).at[3, 3, 1].set(1.0)  # center tap dx=+1
+        # center tap of 3x3 is t=4; its dx lives at channel 2*4+1
+        offsets = jnp.zeros((6, 6, 18)).at[3, 3, 9].set(1.0)
         out = deform_conv2d(x, offsets, kernel)
         assert float(out[3, 3, 0]) == pytest.approx(1.0)
 
