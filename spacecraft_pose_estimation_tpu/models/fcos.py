@@ -1,0 +1,219 @@
+"""FCOS: anchor-free one-stage detector (detectron2 modeling/meta_arch/
+fcos.py parity). Per-location class logits, LTRB distance regression
+(distance = exp(pred) * stride) and centerness; training assigns each
+location to the smallest GT containing it within the level's scale
+range; inference mirrors RetinaNet's topk -> NMS flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import boxes as box_ops
+from ..ops import nms as nms_ops
+from .fpn import FPN
+from .resnet_backbone import RESNET_TINY, ResNetBackbone, ResNetConfig
+from .retinanet import RETINA_STRIDES, sigmoid_focal_loss
+from .rpn import smooth_l1
+
+Array = jax.Array
+Dtype = Any
+
+# per-level object scale ranges (fcos defaults)
+SCALE_RANGES = {
+    "p3": (0.0, 64.0),
+    "p4": (64.0, 128.0),
+    "p5": (128.0, 256.0),
+    "p6": (256.0, 512.0),
+    "p7": (512.0, 1e8),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class FCOSConfig:
+    backbone: ResNetConfig = ResNetConfig(depth=50)
+    fpn_channels: int = 256
+    num_classes: int = 1
+    num_convs: int = 4
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    score_thresh: float = 0.05
+    nms_thresh: float = 0.6
+    topk_candidates: int = 1000
+    detections_per_image: int = 100
+    prior_prob: float = 0.01
+
+
+FCOS_TINY = FCOSConfig(
+    backbone=RESNET_TINY, fpn_channels=16, num_convs=1, topk_candidates=64,
+    detections_per_image=4,
+)
+
+
+class FCOS(nn.Module):
+    config: FCOSConfig = FCOSConfig()
+    dtype: Dtype = jnp.float32
+    pixel_mean: tuple = (103.530, 116.280, 123.675)
+
+    @nn.compact
+    def __call__(
+        self,
+        images: Array,
+        gt_boxes: Array | None = None,
+        gt_classes: Array | None = None,
+        gt_valid: Array | None = None,
+        train: bool = False,
+        return_raw: bool = False,
+    ):
+        cfg = self.config
+        b, h, w = images.shape[0], images.shape[1], images.shape[2]
+        x = images.astype(jnp.float32) - jnp.asarray(self.pixel_mean)
+        feats = ResNetBackbone(cfg.backbone, dtype=self.dtype, name="backbone")(x)
+        pyr = FPN(cfg.fpn_channels, dtype=self.dtype, name="fpn")(feats)
+        p7 = nn.Conv(cfg.fpn_channels, (3, 3), strides=(2, 2), padding=1,
+                     dtype=self.dtype, name="p7")(nn.relu(pyr["p6"]))
+        pyramid = {"p3": pyr["p3"], "p4": pyr["p4"], "p5": pyr["p5"],
+                   "p6": pyr["p6"], "p7": p7}
+        levels = sorted(pyramid.keys())
+
+        ch = cfg.fpn_channels
+        cls_tower = [nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name=f"cls_conv{i}")
+                     for i in range(cfg.num_convs)]
+        box_tower = [nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name=f"box_conv{i}")
+                     for i in range(cfg.num_convs)]
+        bias = nn.initializers.constant(-math.log((1 - cfg.prior_prob) / cfg.prior_prob))
+        cls_out = nn.Conv(cfg.num_classes, (3, 3), padding=1, bias_init=bias,
+                          dtype=self.dtype, name="cls_score")
+        box_out = nn.Conv(4, (3, 3), padding=1, dtype=self.dtype, name="bbox_pred")
+        ctr_out = nn.Conv(1, (3, 3), padding=1, dtype=self.dtype, name="centerness")
+
+        logits_all, ltrb_all, ctr_all, centers_all, stride_all, range_all = [], [], [], [], [], []
+        for lvl in levels:
+            f = pyramid[lvl]
+            c = f
+            for conv in cls_tower:
+                c = nn.relu(conv(c))
+            g = f
+            for conv in box_tower:
+                g = nn.relu(conv(g))
+            stride = RETINA_STRIDES[lvl]
+            scale = self.param(f"scale_{lvl}", nn.initializers.ones, ())
+            logits = cls_out(c).astype(jnp.float32).reshape(b, -1, cfg.num_classes)
+            # exponent clamped (<= e^8 * stride) so untrained towers can't
+            # overflow the distance decode
+            ltrb = (
+                jnp.exp(jnp.minimum(box_out(g).astype(jnp.float32) * scale, 8.0)) * stride
+            ).reshape(b, -1, 4)
+            ctr = ctr_out(g).astype(jnp.float32).reshape(b, -1)
+            fh, fw = f.shape[1], f.shape[2]
+            ys = (jnp.arange(fh) + 0.5) * stride
+            xs = (jnp.arange(fw) + 0.5) * stride
+            cx, cy = jnp.meshgrid(xs, ys)
+            centers = jnp.stack([cx.reshape(-1), cy.reshape(-1)], axis=-1)
+            n_l = centers.shape[0]
+            logits_all.append(logits)
+            ltrb_all.append(ltrb)
+            ctr_all.append(ctr)
+            centers_all.append(centers)
+            stride_all.append(jnp.full(n_l, float(stride)))
+            lo, hi = SCALE_RANGES[lvl]
+            range_all.append(jnp.tile(jnp.asarray([[lo, hi]]), (n_l, 1)))
+
+        logits = jnp.concatenate(logits_all, axis=1)
+        ltrb = jnp.concatenate(ltrb_all, axis=1)
+        ctr = jnp.concatenate(ctr_all, axis=1)
+        centers = jnp.concatenate(centers_all, axis=0)  # (N, 2)
+        ranges = jnp.concatenate(range_all, axis=0)  # (N, 2)
+
+        boxes_pred = jnp.stack(
+            [
+                centers[None, :, 0] - ltrb[..., 0],
+                centers[None, :, 1] - ltrb[..., 1],
+                centers[None, :, 0] + ltrb[..., 2],
+                centers[None, :, 1] + ltrb[..., 3],
+            ],
+            axis=-1,
+        )
+
+        if return_raw:
+            return {"logits": logits, "boxes_pred": boxes_pred, "ctr": ctr,
+                    "centers": centers, "ranges": ranges, "ltrb": ltrb}
+
+        if train:
+            def one(lg, bp, ct, gb, gc, gv):
+                # ltrb of each location wrt each gt: (G, N, 4)
+                l = centers[None, :, 0] - gb[:, None, 0]
+                t = centers[None, :, 1] - gb[:, None, 1]
+                r = gb[:, None, 2] - centers[None, :, 0]
+                bmt = gb[:, None, 3] - centers[None, :, 1]
+                ltrb_gt = jnp.stack([l, t, r, bmt], axis=-1)
+                inside = jnp.min(ltrb_gt, axis=-1) > 0
+                max_d = jnp.max(ltrb_gt, axis=-1)
+                in_range = (max_d >= ranges[None, :, 0]) & (max_d <= ranges[None, :, 1])
+                candidate = inside & in_range & gv[:, None]
+                areas = box_ops.box_area(gb)
+                area_mat = jnp.where(candidate, areas[:, None], jnp.inf)
+                best_gt = jnp.argmin(area_mat, axis=0)  # (N,)
+                fg = jnp.any(candidate, axis=0)
+                cls_t = jax.nn.one_hot(gc[best_gt], cfg.num_classes) * fg[:, None]
+                cls_loss = jnp.sum(
+                    sigmoid_focal_loss(lg, cls_t, cfg.focal_alpha, cfg.focal_gamma)
+                )
+                gt_box = gb[best_gt]
+                reg = jnp.sum(smooth_l1(bp, gt_box, 0.1), axis=-1)
+                lt = jnp.take_along_axis(ltrb_gt, best_gt[None, :, None], axis=0)[0]
+                lr_min = jnp.minimum(lt[:, 0], lt[:, 2])
+                lr_max = jnp.maximum(lt[:, 0], lt[:, 2])
+                tb_min = jnp.minimum(lt[:, 1], lt[:, 3])
+                tb_max = jnp.maximum(lt[:, 1], lt[:, 3])
+                ctr_t = jnp.sqrt(
+                    jnp.clip((lr_min / jnp.maximum(lr_max, 1e-6))
+                             * (tb_min / jnp.maximum(tb_max, 1e-6)), 0.0, 1.0)
+                )
+                ctr_loss = jnp.maximum(ct, 0) - ct * ctr_t + jnp.log1p(jnp.exp(-jnp.abs(ct)))
+                norm = jnp.maximum(jnp.sum(fg), 1.0)
+                return (
+                    cls_loss / norm,
+                    jnp.sum(reg * fg) / norm,
+                    jnp.sum(ctr_loss * fg) / norm,
+                )
+
+            cls_l, reg_l, ctr_l = jax.vmap(one)(
+                logits, boxes_pred, ctr, gt_boxes, gt_classes, gt_valid
+            )
+            losses = {
+                "loss_cls": jnp.mean(cls_l),
+                "loss_box_reg": jnp.mean(reg_l),
+                "loss_centerness": jnp.mean(ctr_l),
+            }
+            losses["loss_total"] = sum(losses.values())
+            return losses
+
+        def infer_one(lg, bp, ct):
+            scores = jnp.sqrt(
+                jax.nn.sigmoid(lg) * jax.nn.sigmoid(ct)[:, None]
+            ).reshape(-1)
+            k = min(cfg.topk_candidates, scores.shape[0])
+            top, idx = jax.lax.top_k(scores, k)
+            loc = idx // cfg.num_classes
+            cls = idx % cfg.num_classes
+            bx = box_ops.clip_boxes(bp[loc], h, w)
+            valid = top > cfg.score_thresh
+            keep = nms_ops.batched_nms_mask(bx, top, cls, cfg.nms_thresh, valid)
+            masked = jnp.where(keep, top, -jnp.inf)
+            kk = min(cfg.detections_per_image, masked.shape[0])
+            fs, fi = jax.lax.top_k(masked, kk)
+            return {
+                "boxes": bx[fi],
+                "scores": jnp.where(jnp.isfinite(fs), fs, 0.0),
+                "classes": cls[fi],
+                "valid": jnp.isfinite(fs),
+            }
+
+        return jax.vmap(infer_one)(logits, boxes_pred, ctr)
