@@ -139,6 +139,58 @@ class EvalHook(Hook):
             trainer.storage.put_scalars(**results)
 
 
+class MemoryStats(Hook):
+    """Log device memory usage (engine/hooks.py TorchMemoryStats analog)."""
+
+    def __init__(self, period: int = 100):
+        self.period = period
+
+    def after_step(self, trainer):
+        if (trainer.iteration + 1) % self.period:
+            return
+        import jax
+
+        dev = jax.local_devices()[0]
+        stats = getattr(dev, "memory_stats", lambda: None)()
+        if stats:
+            trainer.storage.put_scalar(
+                "device_mem_gb", stats.get("bytes_in_use", 0) / 2**30
+            )
+
+
+def recompute_batch_stats(state, batches, momentum: float = 0.0):
+    """PreciseBN (engine/hooks.py:566): re-estimate BN statistics by
+    averaging batch moments over `batches` in train mode. Returns a state
+    with updated batch_stats (momentum 0 = plain average)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.layers import BN_MOMENTUM
+
+    sums = None
+    n = 0
+    for batch in batches:
+        _, mutated = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"],
+            train=True,
+            mutable=["batch_stats"],
+        )
+        # invert the EMA update to recover this batch's raw moments:
+        # new = m*old + (1-m)*batch  =>  batch = (new - m*old) / (1-m)
+        raw = jax.tree_util.tree_map(
+            lambda new, old: (new - BN_MOMENTUM * old) / (1.0 - BN_MOMENTUM),
+            mutated["batch_stats"],
+            state.batch_stats,
+        )
+        sums = raw if sums is None else jax.tree_util.tree_map(jnp.add, sums, raw)
+        n += 1
+    if sums is None:
+        return state
+    avg = jax.tree_util.tree_map(lambda x: x / n, sums)
+    return state.replace(batch_stats=avg)
+
+
 class TraceProfiler(Hook):
     """Chrome-trace profiling via jax.profiler (TorchProfiler stand-in)."""
 
