@@ -182,6 +182,104 @@ def _to_numpy(v):
     return np.asarray(v)
 
 
+# ---------------------------------------------------------------------------
+# Detectron2 GeneralizedRCNN state_dict -> our detector tree
+# ---------------------------------------------------------------------------
+
+
+def detectron2_torch_to_flax(state_dict: dict[str, Any]) -> dict:
+    """Map a detectron2 GeneralizedRCNN ``model.state_dict()`` (torch
+    format, FrozenBN as ``.norm.{weight,bias,running_mean,running_var}``)
+    onto our rcnn param tree. Returns a partial params tree for
+    `merge_pretrained` (FrozenBN stats live in params here).
+
+    Name grammar:
+      backbone.bottom_up.stem.conv1.*            -> backbone/stem
+      backbone.bottom_up.res{s}.{i}.conv{k}.*    -> backbone/res{s}_b{i}/conv{k}
+      backbone.bottom_up.res{s}.{i}.shortcut.*   -> backbone/res{s}_b{i}/shortcut
+      backbone.fpn_lateral{l}.*                  -> fpn/lateral_res{l}
+      backbone.fpn_output{l}.*                   -> fpn/output_p{l}
+      proposal_generator.rpn_head.{conv|objectness_logits|anchor_deltas}
+                                                 -> rpn_head/{conv|objectness|deltas}
+      roi_heads.box_head.fc{k}.*                 -> roi_heads/box_head/fc{k}
+      roi_heads.box_predictor.{cls_score|bbox_pred}
+                                                 -> roi_heads/predictor/...
+    """
+    params: dict = {}
+
+    def put(path, leaf, v):
+        _set(params, path, leaf, v)
+
+    def conv_unit(path_prefix, tail, v):
+        v = np.asarray(v)
+        if tail == "weight" and v.ndim == 4:
+            put(path_prefix + ["conv"], "kernel", v.transpose(2, 3, 1, 0))
+        elif tail == "norm.weight":
+            put(path_prefix + ["norm"], "scale", v)
+        elif tail == "norm.bias":
+            put(path_prefix + ["norm"], "bias", v)
+        elif tail == "norm.running_mean":
+            put(path_prefix + ["norm"], "mean", v)
+        elif tail == "norm.running_var":
+            put(path_prefix + ["norm"], "var", v)
+
+    def plain_conv(path, tail, v):
+        v = np.asarray(v)
+        if tail == "weight":
+            put(path, "kernel", v.transpose(2, 3, 1, 0))
+        elif tail == "bias":
+            put(path, "bias", v)
+
+    def dense(path, tail, v):
+        v = np.asarray(v)
+        if tail == "weight":
+            put(path, "kernel", v.T)
+        elif tail == "bias":
+            put(path, "bias", v)
+
+    for key, value in state_dict.items():
+        value = _to_numpy(value)
+        m = re.match(r"backbone\.bottom_up\.stem\.conv1\.(.+)", key)
+        if m:
+            conv_unit(["backbone", "stem"], m.group(1), value)
+            continue
+        m = re.match(r"backbone\.bottom_up\.res(\d)\.(\d+)\.(conv\d|shortcut)\.(.+)", key)
+        if m:
+            s, i, unit, tail = m.groups()
+            conv_unit(["backbone", f"res{s}_b{i}", unit], tail, value)
+            continue
+        m = re.match(r"backbone\.fpn_lateral(\d)\.(.+)", key)
+        if m:
+            plain_conv(["fpn", f"lateral_res{m.group(1)}"], m.group(2), value)
+            continue
+        m = re.match(r"backbone\.fpn_output(\d)\.(.+)", key)
+        if m:
+            plain_conv(["fpn", f"output_p{m.group(1)}"], m.group(2), value)
+            continue
+        m = re.match(r"proposal_generator\.rpn_head\.conv\.(.+)", key)
+        if m:
+            plain_conv(["rpn_head", "conv"], m.group(1), value)
+            continue
+        m = re.match(r"proposal_generator\.rpn_head\.objectness_logits\.(.+)", key)
+        if m:
+            plain_conv(["rpn_head", "objectness"], m.group(1), value)
+            continue
+        m = re.match(r"proposal_generator\.rpn_head\.anchor_deltas\.(.+)", key)
+        if m:
+            plain_conv(["rpn_head", "deltas"], m.group(1), value)
+            continue
+        m = re.match(r"roi_heads\.box_head\.fc(\d)\.(.+)", key)
+        if m:
+            dense(["roi_heads", "box_head", f"fc{m.group(1)}"], m.group(2), value)
+            continue
+        m = re.match(r"roi_heads\.box_predictor\.(cls_score|bbox_pred)\.(.+)", key)
+        if m:
+            dense(["roi_heads", "predictor", m.group(1)], m.group(2), value)
+            continue
+
+    return params
+
+
 def merge_pretrained(variables: dict, params: dict, stats: dict) -> dict:
     """Merge imported subtrees over initialised variables, verifying
     shapes; unknown/missing keys are reported and skipped."""
