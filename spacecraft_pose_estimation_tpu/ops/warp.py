@@ -103,6 +103,7 @@ def crop_and_resize_mxu(
     center: Array,
     scale: Array,
     out_size: tuple[int, int],
+    compute_dtype=None,
 ) -> Array:
     """Axis-aligned (rot=0) crop+resize as two MXU matmuls.
 
@@ -119,6 +120,17 @@ def crop_and_resize_mxu(
     ys = M_inv[1, 1] * jnp.arange(out_h, dtype=jnp.float32) + M_inv[1, 2]
     Wx = _interp_matrix(xs, image.shape[1])  # (out_w, W)
     Wy = _interp_matrix(ys, image.shape[0])  # (out_h, H)
+    if compute_dtype is not None:
+        # serving fast path: bf16 interpolation taps with f32 accumulation
+        # (error <= ~1 grey level on 0-255 inputs, 4x MXU rate)
+        img = image.astype(compute_dtype)
+        Wx = Wx.astype(compute_dtype)
+        Wy = Wy.astype(compute_dtype)
+        tmp = jnp.einsum("hwc,ow->hoc", img, Wx, preferred_element_type=jnp.float32)
+        return jnp.einsum(
+            "hoc,ph->poc", tmp.astype(compute_dtype), Wy,
+            preferred_element_type=jnp.float32,
+        )
     img = image.astype(jnp.float32)
     tmp = jnp.einsum("hwc,ow->hoc", img, Wx, precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum("hoc,ph->poc", tmp, Wy, precision=jax.lax.Precision.HIGHEST)
@@ -131,6 +143,7 @@ def batched_crop_and_resize(
     rots: Array,
     out_size: tuple[int, int],
     method: str = "auto",
+    compute_dtype=None,
 ) -> Array:
     """Batched crop+resize. ``method``:
 
@@ -149,9 +162,9 @@ def batched_crop_and_resize(
             is_zero = False
         method = "mxu" if is_zero else "gather"
     if method == "mxu":
-        return jax.vmap(lambda im, c, s: crop_and_resize_mxu(im, c, s, out_size))(
-            images, centers, scales
-        )
+        return jax.vmap(
+            lambda im, c, s: crop_and_resize_mxu(im, c, s, out_size, compute_dtype)
+        )(images, centers, scales)
     return jax.vmap(lambda im, c, s, r: crop_and_resize(im, c, s, r, out_size))(
         images, centers, scales, rots
     )

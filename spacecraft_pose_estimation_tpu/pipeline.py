@@ -40,6 +40,7 @@ class PipelineConfig:
     bbox_padding: float = 1.5
     post_process: bool = True
     solver: str = "gn"  # 'gn' (trusted confidences) | 'ransac' | 'none'
+    warp_dtype: str = "bfloat16"  # interpolation-matmul dtype ('float32' = exact)
     ransac_hypotheses: int = 256
     reproj_threshold: float = 15.0
     refine_iters: int = 10
@@ -70,8 +71,10 @@ def make_landmark_stage(model, config: PipelineConfig = PipelineConfig()):
         rots = jnp.zeros(frames.shape[0], jnp.float32)
         # Inference never rotates -> separable MXU crop (TPU gathers are
         # ~100x slower for this shape; see ops/warp.crop_and_resize_mxu).
+        wdtype = jnp.bfloat16 if config.warp_dtype == "bfloat16" else None
         crops = warp.batched_crop_and_resize(
-            frames, centers, scales, rots, config.image_size, method="mxu"
+            frames, centers, scales, rots, config.image_size, method="mxu",
+            compute_dtype=wdtype,
         )
         inputs = normalize_crops(crops)
         heatmaps = model.apply(variables, inputs, train=False)
