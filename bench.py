@@ -76,7 +76,7 @@ def build(batch):
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     n_lo = int(os.environ.get("BENCH_N_LO", "2"))
     n_hi = int(os.environ.get("BENCH_N_HI", "12"))
 
