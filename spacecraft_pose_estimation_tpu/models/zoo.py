@@ -1,0 +1,93 @@
+"""Named detector presets (object_detection_utils.py config_1..config_20).
+
+The reference's experiment registry builds detectron2 cfgs by name; here
+each name maps to an (architecture, RCNNConfig/RetinaNetConfig) pair.
+`config_4(image_height)` semantics — INPUT sizes pinned to the frame
+height, flips off, class-agnostic single-class boxes, 2 detections per
+image — are carried by the returned `input_size` and config fields.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+from .rcnn import FASTER_RCNN_X101_SPACECRAFT, RCNNConfig, ROIHeadsConfig
+from .resnet_backbone import RESNEXT101_32x8d, ResNetConfig
+from .retinanet import RetinaNetConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorPreset:
+    arch: str  # 'faster_rcnn' | 'retinanet'
+    config: Any
+    input_size: int | None = None  # None -> pin to image height (config_4)
+    flip: bool = False
+    notes: str = ""
+
+
+_R101 = ResNetConfig(depth=101)
+
+DETECTOR_PRESETS: dict[str, DetectorPreset] = {
+    # Faster R-CNN X101-FPN 3x (the paper's main detector)
+    "config_1": DetectorPreset(
+        arch="faster_rcnn",
+        config=dataclasses.replace(
+            FASTER_RCNN_X101_SPACECRAFT,
+            roi=ROIHeadsConfig(num_classes=1, detections_per_image=100),
+        ),
+        input_size=800,
+        flip=True,
+        notes="X101-FPN, default sizes/flips",
+    ),
+    # Faster R-CNN R101-FPN 3x
+    "config_2": DetectorPreset(
+        arch="faster_rcnn",
+        config=dataclasses.replace(
+            FASTER_RCNN_X101_SPACECRAFT,
+            backbone=_R101,
+            roi=ROIHeadsConfig(num_classes=1, detections_per_image=100),
+        ),
+        input_size=800,
+        flip=True,
+        notes="R101-FPN",
+    ),
+    "config_3": DetectorPreset(
+        arch="faster_rcnn",
+        config=dataclasses.replace(
+            FASTER_RCNN_X101_SPACECRAFT,
+            roi=ROIHeadsConfig(
+                num_classes=1, cls_agnostic_bbox_reg=True, detections_per_image=2
+            ),
+        ),
+        input_size=800,
+        flip=False,
+        notes="X101-FPN class-agnostic",
+    ),
+    # the pipeline's flagship: sizes pinned to frame height, no flips,
+    # class-agnostic, <=2 detections
+    "config_4": DetectorPreset(
+        arch="faster_rcnn",
+        config=FASTER_RCNN_X101_SPACECRAFT,
+        input_size=None,
+        flip=False,
+        notes="X101-FPN pinned-size class-agnostic (the eval preset)",
+    ),
+    # RetinaNet R101 3x
+    "config_20": DetectorPreset(
+        arch="retinanet",
+        config=RetinaNetConfig(backbone=_R101, num_classes=1),
+        input_size=800,
+        flip=False,
+        notes="RetinaNet R101",
+    ),
+}
+
+
+def get_detector_preset(name: str, image_height: int | None = None) -> DetectorPreset:
+    p = DETECTOR_PRESETS[name]
+    if p.input_size is None:
+        if image_height is None:
+            raise ValueError(f"{name} pins input size to the frame height; pass image_height")
+        p = dataclasses.replace(p, input_size=image_height)
+    return p
