@@ -57,10 +57,12 @@ def build(batch):
     @partial(jax.jit, static_argnames=("n",))
     def repeat(variables, frames, boxes, n):
         def body(carry, _):
-            # carry-dependent perturbation: forces truly serial execution,
-            # numerically negligible (<1e-18 relative).
-            f = frames + carry * 1e-20
-            out = run(variables, f, boxes)
+            # carry-dependent perturbation forces truly serial execution.
+            # Perturb the tiny boxes array, NOT the frames: materialising a
+            # perturbed 3.5 GB frame tensor per iteration would add ~7 GB
+            # of artificial HBM traffic per step.
+            bx = boxes + carry * 1e-20
+            out = run(variables, frames, bx)
             c = carry + jnp.sum(out["t"]) * 1e-20
             return c, None
 

@@ -7,13 +7,21 @@ map), plus `backwarp` bilinear warping (model.py:158-348) and the
 `interpolate` schedule that upsamples a frame pair into N intermediate
 frames (slomo.py:231-360).
 
-Upsampling-factor selection mirrors v2e's auto mode: choose N so the
-max flow magnitude is <= 1 px per interpolated frame.
+Module/layer names mirror the official checkpoint layout
+(SuperSloMo39.ckpt: state_dictFC / state_dictAT with conv1/conv2,
+down1..down5.conv1/conv2, up1..up5.conv1/conv2, conv3), so
+`slomo_torch_to_flax` can import the reference's pretrained weights.
+
+Upsampling-factor selection mirrors v2e's auto mode: choose N so the max
+flow magnitude is <= 1 px per interpolated frame.
 """
 
 from __future__ import annotations
 
+import re
 from typing import Any
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -33,8 +41,9 @@ class Down(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        x = leaky(nn.Conv(self.features, (self.kernel, self.kernel), padding="SAME")(x))
-        x = leaky(nn.Conv(self.features, (self.kernel, self.kernel), padding="SAME")(x))
+        k = self.kernel
+        x = leaky(nn.Conv(self.features, (k, k), padding=k // 2, name="conv1")(x))
+        x = leaky(nn.Conv(self.features, (k, k), padding=k // 2, name="conv2")(x))
         return x
 
 
@@ -45,9 +54,9 @@ class Up(nn.Module):
     def __call__(self, x, skip):
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), "bilinear")
-        x = leaky(nn.Conv(self.features, (3, 3), padding="SAME")(x))
+        x = leaky(nn.Conv(self.features, (3, 3), padding=1, name="conv1")(x))
         x = jnp.concatenate([x, skip], axis=-1)
-        x = leaky(nn.Conv(self.features, (3, 3), padding="SAME")(x))
+        x = leaky(nn.Conv(self.features, (3, 3), padding=1, name="conv2")(x))
         return x
 
 
@@ -58,19 +67,19 @@ class UNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x1 = leaky(nn.Conv(32, (7, 7), padding="SAME")(x))
-        x1 = leaky(nn.Conv(32, (7, 7), padding="SAME")(x1))
-        x2 = Down(64, 5)(x1)
-        x3 = Down(128, 3)(x2)
-        x4 = Down(256, 3)(x3)
-        x5 = Down(512, 3)(x4)
-        x6 = Down(512, 3)(x5)
-        u = Up(512)(x6, x5)
-        u = Up(256)(u, x4)
-        u = Up(128)(u, x3)
-        u = Up(64)(u, x2)
-        u = Up(32)(u, x1)
-        return leaky(nn.Conv(self.out_channels, (3, 3), padding="SAME")(u))
+        x1 = leaky(nn.Conv(32, (7, 7), padding=3, name="conv1")(x))
+        x1 = leaky(nn.Conv(32, (7, 7), padding=3, name="conv2")(x1))
+        x2 = Down(64, 5, name="down1")(x1)
+        x3 = Down(128, 3, name="down2")(x2)
+        x4 = Down(256, 3, name="down3")(x3)
+        x5 = Down(512, 3, name="down4")(x4)
+        x6 = Down(512, 3, name="down5")(x5)
+        u = Up(512, name="up1")(x6, x5)
+        u = Up(256, name="up2")(u, x4)
+        u = Up(128, name="up3")(u, x3)
+        u = Up(64, name="up4")(u, x2)
+        u = Up(32, name="up5")(u, x1)
+        return leaky(nn.Conv(self.out_channels, (3, 3), padding=1, name="conv3")(u))
 
 
 def backwarp(img: Array, flow: Array) -> Array:
@@ -151,3 +160,44 @@ def auto_upsampling_factor(max_flow_px: Array, limit_px: float = 1.0) -> Array:
     """v2e --auto_timestamp_resolution: interpolate so max flow <= 1 px
     per interpolated frame (slomo.py auto-upsample)."""
     return jnp.maximum(jnp.ceil(max_flow_px / limit_px).astype(jnp.int32), 1)
+
+
+# ---------------------------------------------------------------------------
+# Torch checkpoint import (SuperSloMo39.ckpt)
+# ---------------------------------------------------------------------------
+
+
+def _unet_sd_to_flax(sd: dict[str, Any]) -> dict:
+    """One UNet state_dict (conv1/conv2/downK.convJ/upK.convJ/conv3) ->
+    flax param subtree."""
+    tree: dict = {}
+
+    def put(path, leaf, v):
+        node = tree
+        for p in path:
+            node = node.setdefault(p, {})
+        node[leaf] = v
+
+    for key, v in sd.items():
+        v = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        m = re.match(r"(conv\d)\.(weight|bias)", key)
+        if m:
+            name, leaf = m.groups()
+            put([name], "kernel" if leaf == "weight" else "bias",
+                v.transpose(2, 3, 1, 0) if leaf == "weight" else v)
+            continue
+        m = re.match(r"(down\d|up\d)\.(conv\d)\.(weight|bias)", key)
+        if m:
+            block, name, leaf = m.groups()
+            put([block, name], "kernel" if leaf == "weight" else "bias",
+                v.transpose(2, 3, 1, 0) if leaf == "weight" else v)
+    return tree
+
+
+def slomo_torch_to_flax(checkpoint: dict[str, Any]) -> dict:
+    """Official SuperSloMo ckpt {'state_dictFC', 'state_dictAT'} -> params
+    tree for the bundled `SuperSloMo` module."""
+    return {
+        "flow_comp": _unet_sd_to_flax(checkpoint["state_dictFC"]),
+        "arb_interp": _unet_sd_to_flax(checkpoint["state_dictAT"]),
+    }
