@@ -1,0 +1,127 @@
+"""Numerical parity against the REFERENCE implementation itself.
+
+The reference's pose_hrnet is pure torch, so we can import it from
+/root/reference (read-only, execution as a test oracle), transfer its
+randomly-initialised weights through our torch->Flax importer, and
+require the two frameworks' forward passes to agree to float tolerance.
+This validates the full trunk topology (stem, transitions, stage
+modules, fuse layers, final head) end to end, not just per-layer shapes.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+REF_LIB = "/root/reference/landmark_regression/lib"
+
+
+@pytest.fixture(scope="module")
+def reference_hrnet():
+    if not os.path.isdir(REF_LIB):
+        pytest.skip("reference checkout not available")
+    sys.path.insert(0, REF_LIB)
+    try:
+        from models import pose_hrnet as ref_pose_hrnet
+    finally:
+        sys.path.remove(REF_LIB)
+    return ref_pose_hrnet
+
+
+def tiny_ref_cfg(num_joints=5):
+    """A reduced HRNet spec accepted by the reference's builder."""
+    return {
+        "MODEL": {
+            "NUM_JOINTS": num_joints,
+            "INIT_WEIGHTS": False,
+            "PRETRAINED": "",
+            "EXTRA": {
+                "FINAL_CONV_KERNEL": 1,
+                "PRETRAINED_LAYERS": ["*"],
+                "STAGE2": {
+                    "NUM_MODULES": 1, "NUM_BRANCHES": 2, "BLOCK": "BASIC",
+                    "NUM_BLOCKS": [1, 1], "NUM_CHANNELS": [4, 8],
+                    "FUSE_METHOD": "SUM",
+                },
+                "STAGE3": {
+                    "NUM_MODULES": 1, "NUM_BRANCHES": 3, "BLOCK": "BASIC",
+                    "NUM_BLOCKS": [1, 1, 1], "NUM_CHANNELS": [4, 8, 16],
+                    "FUSE_METHOD": "SUM",
+                },
+                "STAGE4": {
+                    "NUM_MODULES": 1, "NUM_BRANCHES": 4, "BLOCK": "BASIC",
+                    "NUM_BLOCKS": [1, 1, 1, 1], "NUM_CHANNELS": [4, 8, 16, 32],
+                    "FUSE_METHOD": "SUM",
+                },
+            },
+        }
+    }
+
+
+class TestHRNetForwardParity:
+    def test_forward_matches_reference(self, reference_hrnet):
+        import dataclasses
+
+        from spacecraft_pose_estimation_tpu.models.hrnet import HRNet, HRNetConfig, StageSpec
+        from spacecraft_pose_estimation_tpu.utils.torch_import import (
+            hrnet_torch_to_flax,
+            merge_pretrained,
+        )
+
+        num_joints = 5
+        torch.manual_seed(0)
+        ref = reference_hrnet.get_pose_net(tiny_ref_cfg(num_joints), is_train=False)
+        ref.eval()
+        # randomise BN stats so eval mode is non-trivial
+        with torch.no_grad():
+            for m in ref.modules():
+                if isinstance(m, torch.nn.BatchNorm2d):
+                    m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                    m.running_var.copy_(torch.rand_like(m.running_var) + 0.5)
+
+        # NOTE: the reference stem is 64-wide with a 4-block Bottleneck
+        # layer1; our HRNetConfig mirrors that via stem_channels/stage1.
+        ours_cfg = HRNetConfig(
+            num_joints=num_joints,
+            stem_channels=64,
+            stage1_blocks=4,
+            stage2=StageSpec(1, 2, (1, 1), (4, 8)),
+            stage3=StageSpec(1, 3, (1, 1, 1), (4, 8, 16)),
+            stage4=StageSpec(1, 4, (1, 1, 1, 1), (4, 8, 16, 32)),
+            head="classic",
+        )
+        model = HRNet(config=ours_cfg)
+        x0 = jnp.zeros((1, 64, 64, 3))
+        variables = model.init(jax.random.key(0), x0, train=False)
+
+        params, stats = hrnet_torch_to_flax(ref.state_dict(), pretrained_layers=("*",))
+        merged = merge_pretrained(variables, params, stats)
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.tensor(x)).numpy()  # (2, J, 16, 16)
+        ours = model.apply(merged, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+        ours_nchw = np.asarray(ours).transpose(0, 3, 1, 2)
+        assert ours_nchw.shape == ref_out.shape
+        np.testing.assert_allclose(ours_nchw, ref_out, atol=2e-4, rtol=1e-3)
+
+    def test_importer_covers_all_reference_weights(self, reference_hrnet):
+        from spacecraft_pose_estimation_tpu.utils.torch_import import hrnet_torch_to_flax
+
+        ref = reference_hrnet.get_pose_net(tiny_ref_cfg(3), is_train=False)
+        sd = ref.state_dict()
+        params, stats = hrnet_torch_to_flax(sd, pretrained_layers=("*",))
+
+        def count_leaves(tree):
+            return len(jax.tree_util.tree_leaves(tree))
+
+        n_mapped = count_leaves(params) + count_leaves(stats)
+        n_torch = sum(1 for k in sd if "num_batches_tracked" not in k)
+        assert n_mapped == n_torch, (n_mapped, n_torch)
