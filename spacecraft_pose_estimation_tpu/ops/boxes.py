@@ -86,6 +86,64 @@ def apply_deltas(deltas: Array, boxes: Array, weights=(1.0, 1.0, 1.0, 1.0)) -> A
     )
 
 
+def elementwise_iou(a: Array, b: Array) -> Array:
+    """(..., 4) x (..., 4) -> (...) IoU of paired boxes."""
+    lt = jnp.maximum(a[..., :2], b[..., :2])
+    rb = jnp.minimum(a[..., 2:], b[..., 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = box_area(a) + box_area(b) - inter
+    return jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
+
+
+def giou_loss(pred: Array, target: Array) -> Array:
+    """Generalized IoU loss (layers/losses.py family), elementwise."""
+    iou = elementwise_iou(pred, target)
+    lt = jnp.minimum(pred[..., :2], target[..., :2])
+    rb = jnp.maximum(pred[..., 2:], target[..., 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    enclose = jnp.maximum(wh[..., 0] * wh[..., 1], 1e-12)
+    inter_lt = jnp.maximum(pred[..., :2], target[..., :2])
+    inter_rb = jnp.minimum(pred[..., 2:], target[..., 2:])
+    inter = jnp.prod(jnp.maximum(inter_rb - inter_lt, 0.0), axis=-1)
+    union = box_area(pred) + box_area(target) - inter
+    return 1.0 - iou + (enclose - union) / enclose
+
+
+def _centers_wh(b: Array):
+    wh = jnp.maximum(b[..., 2:] - b[..., :2], 0.0)
+    c = (b[..., :2] + b[..., 2:]) * 0.5
+    return c, wh
+
+
+def diou_loss(pred: Array, target: Array) -> Array:
+    """Distance-IoU loss (layers/losses.py:diou_loss semantics)."""
+    iou = elementwise_iou(pred, target)
+    cp, _ = _centers_wh(pred)
+    ct, _ = _centers_wh(target)
+    center_dist = jnp.sum((cp - ct) ** 2, axis=-1)
+    lt = jnp.minimum(pred[..., :2], target[..., :2])
+    rb = jnp.maximum(pred[..., 2:], target[..., 2:])
+    diag = jnp.maximum(jnp.sum((rb - lt) ** 2, axis=-1), 1e-12)
+    return 1.0 - iou + center_dist / diag
+
+
+def ciou_loss(pred: Array, target: Array) -> Array:
+    """Complete-IoU loss: DIoU + aspect-ratio consistency term."""
+    import math
+
+    iou = elementwise_iou(pred, target)
+    d = diou_loss(pred, target)
+    _, wp = _centers_wh(pred)
+    _, wt = _centers_wh(target)
+    v = (4 / math.pi**2) * (
+        jnp.arctan(wt[..., 0] / jnp.maximum(wt[..., 1], 1e-12))
+        - jnp.arctan(wp[..., 0] / jnp.maximum(wp[..., 1], 1e-12))
+    ) ** 2
+    alpha = v / jnp.maximum(1.0 - iou + v, 1e-12)
+    return d + jax.lax.stop_gradient(alpha) * v
+
+
 def match_to_gt(
     iou: Array,
     thresholds: tuple[float, ...],
