@@ -26,6 +26,13 @@ def build_landmark_model(name: str, num_joints: int, **kwargs):
         return HRNet(config=HRNET_CMS_384.with_joints(num_joints), **kwargs)
     if name == "hrnet_tiny":  # CPU test/CI config
         return HRNet(config=HRNET_TINY.with_joints(num_joints), **kwargs)
+    if name == "hrnet_tiny_cms":  # CPU test/CI config, multi-scale heads
+        import dataclasses
+
+        return HRNet(
+            config=dataclasses.replace(HRNET_TINY.with_joints(num_joints), head="cms"),
+            **kwargs,
+        )
     if name == "pose_resnet":
         return PoseResNet(config=PoseResNetConfig(num_joints=num_joints), **kwargs)
     raise ValueError(f"unknown landmark model: {name}")
