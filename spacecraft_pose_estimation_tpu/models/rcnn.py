@@ -55,6 +55,11 @@ class RCNNConfig:
     roi: ROIHeadsConfig = ROIHeadsConfig()
     pixel_mean: tuple[float, float, float] = PIXEL_MEAN
     pixel_std: tuple[float, float, float] = PIXEL_STD
+    # Mask/Keypoint R-CNN extensions (roi_heads mask_head/keypoint_head)
+    with_mask: bool = False
+    with_keypoints: bool = False
+    num_keypoints: int = 17
+    mask_resolution: int = 14  # pooler res; head output is 2x
 
 
 # The reference's detector preset: config_4 semantics.
@@ -89,6 +94,8 @@ class GeneralizedRCNN(nn.Module):
         gt_boxes: Array | None = None,  # (B, G, 4) XYXY padded
         gt_classes: Array | None = None,  # (B, G) 0-based ids
         gt_valid: Array | None = None,  # (B, G) bool
+        gt_masks: Array | None = None,  # (B, G, H, W) bool (with_mask)
+        gt_keypoints: Array | None = None,  # (B, G, K, 3) x,y,vis (with_keypoints)
         rng: Array | None = None,
         train: bool = False,
     ):
@@ -140,6 +147,84 @@ class GeneralizedRCNN(nn.Module):
                 lambda s, d, sm: fast_rcnn_losses(s, d, sm, cfg.roi)
             )(scores, deltas, sampled)
             losses = {k: jnp.mean(v) for k, v in {**rpn_loss, **roi_loss}.items()}
+
+            if (cfg.with_mask and gt_masks is not None) or (
+                cfg.with_keypoints and gt_keypoints is not None
+            ):
+                from ..ops.roi_align import multilevel_roi_align, roi_align
+                from .cascade import KeypointHead, MaskHead, keypoint_loss, mask_loss
+
+                level_strides = tuple(FPN_STRIDES[l] for l in cfg.roi.in_levels)
+
+                def pool_sampled(image_feats, image_boxes):
+                    return multilevel_roi_align(
+                        [image_feats[l] for l in cfg.roi.in_levels],
+                        image_boxes,
+                        cfg.mask_resolution,
+                        level_strides,
+                        sampling_ratio=cfg.roi.pooler_sampling_ratio,
+                    )
+
+                pooled = jax.vmap(pool_sampled)(
+                    {l: pyramid[l] for l in cfg.roi.in_levels}, sampled["boxes"]
+                )
+                bb, rr = pooled.shape[:2]
+                flat = pooled.reshape(bb * rr, *pooled.shape[2:])
+
+                if cfg.with_mask and gt_masks is not None:
+                    m = 2 * cfg.mask_resolution
+                    mask_logits = MaskHead(
+                        cfg.roi.num_classes, dtype=self.dtype, name="mask_head"
+                    )(flat).reshape(bb, rr, m, m, cfg.roi.num_classes)
+                    # Per-ROI GT mask crops (mask_head crop_and_resize): each
+                    # sampled proposal carries its matched GT box; recover the
+                    # GT index by nearest-box lookup and roi_align the
+                    # full-image bitmask over the proposal extent.
+                    gt_roi_masks = jax.vmap(
+                        lambda om, ob, sb, sgb: jax.vmap(
+                            lambda rb, gtb: roi_align(
+                                om[jnp.argmin(jnp.sum(jnp.abs(ob - gtb[None]), -1))]
+                                .astype(jnp.float32)[..., None],
+                                rb[None], m, 1.0, 2,
+                            )[0, ..., 0]
+                        )(sb, sgb)
+                    )(gt_masks, gt_boxes, sampled["boxes"], sampled["gt_boxes"])
+                    mloss = jax.vmap(
+                        lambda lg, gm, gc, fg: mask_loss(lg, gm > 0.5, gc, fg)
+                    )(mask_logits, gt_roi_masks, sampled["gt_classes"], sampled["is_fg"])
+                    losses["loss_mask"] = jnp.mean(mloss)
+
+                if cfg.with_keypoints and gt_keypoints is not None:
+                    kp_logits = KeypointHead(
+                        cfg.num_keypoints, dtype=self.dtype, name="keypoint_head"
+                    )(flat)
+                    side = kp_logits.shape[1]
+                    kp_logits = kp_logits.reshape(bb, rr, side, side, cfg.num_keypoints)
+
+                    def kp_targets(one_kps, one_gtb, sb, sgb):
+                        def per_roi(rb, gtb_match):
+                            gi = jnp.argmin(jnp.sum(jnp.abs(one_gtb - gtb_match[None]), -1))
+                            kps = one_kps[gi]  # (K, 3)
+                            x0, y0 = rb[0], rb[1]
+                            sw = side / jnp.maximum(rb[2] - rb[0], 1e-6)
+                            sh = side / jnp.maximum(rb[3] - rb[1], 1e-6)
+                            gx = jnp.clip(((kps[:, 0] - x0) * sw).astype(jnp.int32), 0, side - 1)
+                            gy = jnp.clip(((kps[:, 1] - y0) * sh).astype(jnp.int32), 0, side - 1)
+                            inside = (
+                                (kps[:, 0] >= rb[0]) & (kps[:, 0] < rb[2])
+                                & (kps[:, 1] >= rb[1]) & (kps[:, 1] < rb[3])
+                                & (kps[:, 2] > 0)
+                            )
+                            return gy * side + gx, inside.astype(jnp.float32)
+
+                        return jax.vmap(per_roi)(sb, sgb)
+
+                    idx, kvalid = jax.vmap(kp_targets)(
+                        gt_keypoints, gt_boxes, sampled["boxes"], sampled["gt_boxes"]
+                    )
+                    kloss = jax.vmap(keypoint_loss)(kp_logits, idx, kvalid, sampled["is_fg"].astype(jnp.float32))
+                    losses["loss_keypoint"] = jnp.mean(kloss)
+
             losses["loss_total"] = sum(losses.values())
             return losses
 
@@ -147,6 +232,39 @@ class GeneralizedRCNN(nn.Module):
         dets = jax.vmap(
             lambda s, d, p, v: fast_rcnn_inference(s, d, p, v, (h, w), cfg.roi)
         )(scores, deltas, prop_boxes, prop_valid)
+
+        # Optional Mask/Keypoint R-CNN heads on the final detections
+        # (roi_heads/mask_head.py, keypoint_head.py inference paths).
+        if cfg.with_mask or cfg.with_keypoints:
+            from ..ops.roi_align import multilevel_roi_align
+            from .cascade import KeypointHead, MaskHead
+
+            level_strides = tuple(FPN_STRIDES[l] for l in cfg.roi.in_levels)
+
+            def pool_dets(image_feats, image_boxes):
+                return multilevel_roi_align(
+                    [image_feats[l] for l in cfg.roi.in_levels],
+                    image_boxes,
+                    cfg.mask_resolution,
+                    level_strides,
+                    sampling_ratio=cfg.roi.pooler_sampling_ratio,
+                )
+
+            pooled = jax.vmap(pool_dets)(
+                {l: pyramid[l] for l in cfg.roi.in_levels}, dets["boxes"]
+            )
+            bb, rr = pooled.shape[:2]
+            flat = pooled.reshape(bb * rr, *pooled.shape[2:])
+            if cfg.with_mask:
+                mask_logits = MaskHead(
+                    cfg.roi.num_classes, dtype=self.dtype, name="mask_head"
+                )(flat)
+                dets["mask_logits"] = mask_logits.reshape(bb, rr, *mask_logits.shape[1:])
+            if cfg.with_keypoints:
+                kp_logits = KeypointHead(
+                    cfg.num_keypoints, dtype=self.dtype, name="keypoint_head"
+                )(flat)
+                dets["keypoint_logits"] = kp_logits.reshape(bb, rr, *kp_logits.shape[1:])
         return dets
 
 
