@@ -1,0 +1,125 @@
+"""End-to-end accuracy: train tiny HRNet on synthetic scenes, verify the
+fused decode+PnP pose error improves dramatically over the untrained net.
+
+This closes the full loop the reference pipeline implements: GT poses ->
+rendered landmarks -> COCO-style supervision -> heatmap training ->
+sub-pixel decode -> EPnP/GN solve -> rotation/translation error.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+import jax
+import jax.numpy as jnp
+
+from spacecraft_pose_estimation_tpu.models.hrnet import HRNET_TINY, HRNet
+from spacecraft_pose_estimation_tpu.ops import geometry as G
+from spacecraft_pose_estimation_tpu.ops import heatmap as hm_ops
+from spacecraft_pose_estimation_tpu.ops import pnp
+from spacecraft_pose_estimation_tpu.pipeline import normalize_crops
+from spacecraft_pose_estimation_tpu.train.optim import build_optimizer
+from spacecraft_pose_estimation_tpu.train.state import TrainState, make_train_step
+
+SIZE = 64
+J = 12
+
+
+def make_dataset(n, rng):
+    """Distinguishable landmark renders: each landmark gets a distinct
+    intensity blob so the net can identify them."""
+    lm = np.array(
+        [[x, y, z] for x in (-0.5, 0.5) for y in (-0.5, 0.5) for z in (-0.5, 0.5)]
+        + [[0, 0, 0], [0.4, 0, 0], [0, 0.4, 0], [0, 0, 0.4]]
+    )
+    K = np.array([[90.0, 0, SIZE / 2], [0, 90.0, SIZE / 2], [0, 0, 1.0]])
+    frames, joints, Rs, ts = [], [], [], []
+    for i in range(n):
+        Rm = Rotation.from_euler("xyz", rng.uniform(-0.4, 0.4, 3)).as_matrix()
+        t = np.array([0.0, 0.0, 4.5]) + rng.normal(0, 0.15, 3)
+        uv = (lm @ Rm.T + t) @ K.T
+        uv = uv[:, :2] / (lm @ Rm.T + t)[:, 2:3]
+        img = np.zeros((SIZE, SIZE, 3), np.float32)
+        ys, xs = np.mgrid[0:SIZE, 0:SIZE]
+        for j, (x, y) in enumerate(uv):
+            blob = np.exp(-((xs - x) ** 2 + (ys - y) ** 2) / 3.0)
+            img[..., 0] += blob * (80 + 14 * j)
+            img[..., 1] += blob * (255 - 18 * j)
+            img[..., 2] += blob * (40 + 10 * (j % 4))
+        frames.append(np.clip(img, 0, 255))
+        joints.append(uv)
+        Rs.append(Rm)
+        ts.append(t)
+    return lm, K, np.stack(frames), np.stack(joints), np.stack(Rs), np.stack(ts)
+
+
+def pose_errors(model, variables, frames, lm, K, Rs_gt, ts_gt):
+    hm = model.apply(variables, normalize_crops(jnp.asarray(frames)), train=False)
+    centers = jnp.tile(jnp.asarray([[SIZE / 2, SIZE / 2]]), (len(frames), 1))
+    scales = jnp.tile(jnp.asarray([[SIZE / 200.0, SIZE / 200.0]]), (len(frames), 1))
+    preds, conf = hm_ops.decode_heatmaps(hm, centers, scales)
+    solve = jax.vmap(
+        lambda kp, cf: pnp.solve_pnp(
+            jnp.asarray(lm, jnp.float32), kp, jnp.asarray(K, jnp.float32),
+            jnp.zeros(5), (cf > 0.1).astype(jnp.float32), refine_iters=5,
+        )
+    )
+    Rh, th = solve(preds, conf)
+    rot_err = []
+    t_err = []
+    for i in range(len(frames)):
+        cos = (np.trace(np.asarray(Rh[i]).T @ Rs_gt[i]) - 1) / 2
+        rot_err.append(np.degrees(np.arccos(np.clip(cos, -1, 1))))
+        t_err.append(np.linalg.norm(np.asarray(th[i]) - ts_gt[i]) / np.linalg.norm(ts_gt[i]))
+    return float(np.median(rot_err)), float(np.median(t_err))
+
+
+@pytest.mark.slow
+def test_training_improves_pose_error():
+    rng = np.random.default_rng(0)
+    lm, K, frames, joints, Rs_gt, ts_gt = make_dataset(48, rng)
+    test_lm, test_K, test_frames, _, test_R, test_t = make_dataset(8, np.random.default_rng(1))
+
+    model = HRNet(config=dataclasses.replace(HRNET_TINY, num_joints=J))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, SIZE, SIZE, 3)), train=True)
+    state = TrainState.create(model, variables, build_optimizer("adam", 2e-3))
+    step = jax.jit(make_train_step())
+
+    # targets: full-crop geometry (center=img center, scale=SIZE/200)
+    tgt, tw = jax.vmap(
+        lambda jt: hm_ops.generate_target(jt, jnp.ones(J), (SIZE, SIZE), (16, 16), 1.5)
+    )(jnp.asarray(joints, jnp.float32))
+    images = normalize_crops(jnp.asarray(frames))
+
+    rot0, terr0 = pose_errors(
+        model,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        test_frames, test_lm, test_K, test_R, test_t,
+    )
+
+    bs = 8
+    order = np.arange(len(frames))
+    for epoch in range(60):
+        rng.shuffle(order)
+        for s in range(0, len(frames), bs):
+            idx = order[s : s + bs]
+            batch = {
+                "image": images[idx],
+                "target": tgt[idx],
+                "target_weight": tw[idx],
+            }
+            state, m = step(state, batch)
+
+    rot1, terr1 = pose_errors(
+        model,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        test_frames, test_lm, test_K, test_R, test_t,
+    )
+    # untrained nets give random/degenerate (possibly NaN) poses; trained
+    # must be dramatically better
+    rot0 = 180.0 if not np.isfinite(rot0) else rot0
+    assert rot1 < rot0 * 0.5, (rot0, rot1)
+    assert rot1 < 25.0, (rot0, rot1)
+    assert terr1 < 0.2, (terr0, terr1)
