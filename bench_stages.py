@@ -74,9 +74,21 @@ def main():
     model = HRNet(config=POSE_HRNET_W32.with_joints(num_joints), dtype=jnp.bfloat16)
     variables = model.init(jax.random.key(0), jnp.zeros((1, 512, 512, 3)), train=False)
 
+    # perturb centers (tiny), not frames: a perturbed frame tensor would
+    # add GBs of artificial HBM traffic per iteration
     warp_fn = scanner(
         lambda f, c, s, pert: jnp.sum(
-            warp_ops.batched_crop_and_resize(f + pert, c, s, jnp.zeros(f.shape[0]), (512, 512))
+            warp_ops.batched_crop_and_resize(
+                f, c + pert, s, jnp.zeros(f.shape[0]), (512, 512), method="gather"
+            )
+        )
+    )
+    warp_mxu_fn = scanner(
+        lambda f, c, s, pert: jnp.sum(
+            warp_ops.batched_crop_and_resize(
+                f, c + pert, s, jnp.zeros(f.shape[0]), (512, 512),
+                method="mxu", compute_dtype=jnp.bfloat16,
+            )
         )
     )
     model_fn = scanner(lambda v, x, pert: jnp.sum(model.apply(v, x + pert, train=False)))
@@ -109,7 +121,8 @@ def main():
         ("epnp_only", epnp_fn, (kps, conf)),
         ("pnp_gn5", pnp_fn, (kps, conf)),
         ("hrnet_w32_512_bf16", model_fn, (variables, crops)),
-        ("warp", warp_fn, (frames, centers, scales)),
+        ("warp_gather", warp_fn, (frames, centers, scales)),
+        ("warp_mxu_bf16", warp_mxu_fn, (frames, centers, scales)),
     ]
     for name, fn, args in stages:
         v = marginal_time(fn, *args)

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--lr", type=float, default=0.00025)
     ap.add_argument("--eval-period", type=int, default=1000)
     ap.add_argument("--checkpoint-period", type=int, default=1000)
+    ap.add_argument("--photometric-augs", choices=["none", "event", "speedplus"],
+                    default="none",
+                    help="device-side visual aug stack (fork augmentations)")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -122,9 +125,21 @@ def main():
     raw_step = jax.jit(make_detection_train_step(needs_rng))
     base_key = jax.random.key(42)
 
+    aug_fn = None
+    if args.photometric_augs != "none":
+        from spacecraft_pose_estimation_tpu.data import augment as A
+
+        stack = A.EVENT_STACK if args.photometric_augs == "event" else A.SPEEDPLUS_STACK
+        aug_fn = jax.jit(
+            jax.vmap(lambda k, im: A.apply_stack(k, im, stack))
+        )
+
     def step_fn(state, batch):
         key = jax.random.fold_in(base_key, int(state.step))
         jb = {k: jnp.asarray(v) for k, v in batch.items() if k not in ("image_id", "scale")}
+        if aug_fn is not None:
+            keys = jax.random.split(jax.random.fold_in(key, 1), jb["image"].shape[0])
+            jb["image"] = aug_fn(keys, jb["image"])
         return raw_step(state, jb, key)
 
     storage = MetricStorage()
