@@ -183,6 +183,41 @@ class TestWorkflow:
         assert np.asarray(poses[0]["rotation_matrix"]).shape == (3, 3)
         assert np.asarray(poses[0]["T"]).shape == (3, 1)
 
+    def test_fused_evaluate_pipeline(self, scene, coco_jsons, trained, tmp_path):
+        """Train a tiny detector 2 iters, then run the one-graph
+        detect->crop->regress->solve scene evaluation end to end."""
+        det_out = tmp_path / "det"
+        run([
+            "tools/train_detector.py",
+            "--train-json", str(coco_jsons / "synthetic_train.json"),
+            "--image-dir", str(trained["flat"]),
+            "--output", str(det_out),
+            "--tiny", "--input-size", "64", "--batch-size", "2",
+            "--max-iter", "2", "--checkpoint-period", "2",
+        ])
+        # scene dir layout: scenes/<scene>/frames
+        scenes = tmp_path / "scenes"
+        (scenes / "s0").mkdir(parents=True)
+        for f in (scene["frames"] / "test").iterdir():
+            (scenes / "s0" / f.name).symlink_to(f)
+        out = tmp_path / "eval"
+        run([
+            "tools/evaluate_pipeline.py",
+            "--scenes-dir", str(scenes),
+            "--landmarks-file", str(scene["root"] / "landmarks.csv"),
+            "--calibration-file", str(scene["root"] / "calibration.json"),
+            "--detector-checkpoint", str(det_out / "checkpoints"),
+            "--landmark-checkpoint", str(trained["outdir"] / "checkpoints"),
+            "--output-dir", str(out),
+            "--preset", "events",
+            "--tiny", "--input-size", "64", "--batch-size", "2",
+            "MODEL.NAME", "hrnet_tiny",
+            "MODEL.IMAGE_SIZE", "[64, 64]",
+            "MODEL.COMPUTE_DTYPE", "float32",
+        ])
+        for artifact in ("pred.mat", "real_test.json", "opencv_poses.json"):
+            assert (out / "s0" / artifact).exists(), artifact
+
     def test_v2e_simulation(self, scene, tmp_path):
         out = tmp_path / "v2e_out"
         run([

@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--input-size", type=int, default=768)
+    ap.add_argument("opts", nargs="*", help="KEY VALUE config override pairs")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -63,7 +64,7 @@ def main():
     from spacecraft_pose_estimation_tpu.train.optim import build_optimizer
     from spacecraft_pose_estimation_tpu.train.state import TrainState
 
-    cfg = C.get_preset(args.preset)
+    cfg = C.apply_overrides(C.get_preset(args.preset), args.opts)
     cam = CameraModel.from_calibration_json(args.calibration_file)
     landmarks = coco_io.load_landmarks_csv(args.landmarks_file)
 
