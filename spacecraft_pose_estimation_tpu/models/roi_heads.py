@@ -47,6 +47,8 @@ class ROIHeadsConfig:
     nms_thresh: float = 0.5
     detections_per_image: int = 100
     in_levels: tuple[str, ...] = ("p2", "p3", "p4", "p5")
+    pooler_impl: str = "windowed"  # 'windowed' (MXU slices+matmuls) | 'gather'
+    pooler_window: int = 48
 
 
 class BoxHead(nn.Module):
@@ -112,6 +114,8 @@ class StandardROIHeads(nn.Module):
                 cfg.pooler_resolution,
                 level_strides,
                 sampling_ratio=cfg.pooler_sampling_ratio,
+                impl=cfg.pooler_impl,
+                window=cfg.pooler_window,
             )
 
         pooled = jax.vmap(pool_one)(level_feats, boxes)  # (B, R, P, P, C)

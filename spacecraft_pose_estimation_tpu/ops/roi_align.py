@@ -98,6 +98,72 @@ def roi_align(
     return jax.vmap(one_box)(boxes)
 
 
+def roi_align_windowed(
+    feat: Array,
+    boxes: Array,
+    output_size: int,
+    spatial_scale: float,
+    sampling_ratio: int = 2,
+    window: int = 48,
+) -> Array:
+    """MXU formulation of aligned ROIAlign: per box, dynamic-slice a
+    (window, window) patch and contract it with combined
+    interpolate-then-average matrices (bilinear sampling + bin averaging
+    are both linear in the patch, so the whole op is two small matmuls).
+
+    TPU gathers are the detector's warp-problem all over again; this
+    path replaces ~1e8 random-point gathers with contiguous slices +
+    matmuls. Exact wherever the box's feature-space extent (+1 px of
+    bilinear support) fits in `window`; larger boxes lose their outer
+    taps (the canonical FPN level assignment keeps extents ~14-28 px,
+    so `window=48` is exact in practice).
+    """
+    p = output_size
+    s = sampling_ratio
+    h, w = feat.shape[0], feat.shape[1]
+
+    def one_box(box):
+        x0 = box[0] * spatial_scale - 0.5
+        y0 = box[1] * spatial_scale - 0.5
+        x1 = box[2] * spatial_scale - 0.5
+        y1 = box[3] * spatial_scale - 0.5
+        bin_w = (x1 - x0) / p
+        bin_h = (y1 - y0) / p
+        # sample coordinates (p*s per axis)
+        grid = (jnp.arange(p)[:, None] + (jnp.arange(s)[None, :] + 0.5) / s).reshape(-1)
+        sx = x0 + grid * bin_w
+        sy = y0 + grid * bin_h
+
+        ox = jnp.clip(jnp.floor(x0).astype(jnp.int32) - 1, 0, max(w - window, 0))
+        oy = jnp.clip(jnp.floor(y0).astype(jnp.int32) - 1, 0, max(h - window, 0))
+        patch = jax.lax.dynamic_slice(
+            feat, (oy, ox, 0), (min(window, h), min(window, w), feat.shape[2])
+        )
+
+        def interp_avg_matrix(coords, origin, size_limit):
+            # (p*s, window) bilinear taps relative to the window origin,
+            # averaged into (p, window). Matches `_bilinear` exactly:
+            # coords within (-1, size) are CLAMPED into [0, size-1] before
+            # the hat weights (border samples collapse onto the edge texel);
+            # outside that range the sample is zero.
+            inb = (coords > -1.0) & (coords < size_limit)
+            cc = jnp.clip(coords, 0.0, size_limit - 1)
+            k = jax.lax.broadcasted_iota(
+                jnp.float32, (coords.shape[0], min(window, size_limit)), 1
+            )
+            rel = cc[:, None] - origin
+            wgt = jnp.maximum(0.0, 1.0 - jnp.abs(rel - k))
+            wgt = wgt * inb[:, None]
+            return wgt.reshape(p, s, -1).mean(axis=1)  # (p, window)
+
+        Wx = interp_avg_matrix(sx, ox, w)
+        Wy = interp_avg_matrix(sy, oy, h)
+        tmp = jnp.einsum("pw,hwc->phc", Wx, patch.astype(jnp.float32))
+        return jnp.einsum("qh,phc->qpc", Wy, tmp)
+
+    return jax.vmap(one_box)(boxes)
+
+
 def multilevel_roi_align(
     feats: list[Array],
     boxes: Array,
@@ -106,6 +172,8 @@ def multilevel_roi_align(
     canonical_size: float = 224.0,
     canonical_level: int = 4,
     sampling_ratio: int = 2,
+    impl: str = "gather",
+    window: int = 48,
 ) -> Array:
     """FPN ROIPooler: assign each box to a pyramid level by scale, pool
     there (modeling/poolers.py:22-113 assign_boxes_to_levels + ROIAlign).
@@ -126,11 +194,19 @@ def multilevel_roi_align(
     target = jnp.floor(canonical_level + jnp.log2(sqrt_area / canonical_size + 1e-8))
     target = jnp.clip(target, lvl_min, lvl_min + num_levels - 1).astype(jnp.int32) - lvl_min
 
-    pooled_all = jnp.stack(
-        [
-            roi_align(f, boxes, output_size, 1.0 / s, sampling_ratio)
-            for f, s in zip(feats, strides)
-        ]
-    )  # (L, R, P, P, C)
+    if impl == "windowed":
+        pooled_all = jnp.stack(
+            [
+                roi_align_windowed(f, boxes, output_size, 1.0 / s, sampling_ratio, window)
+                for f, s in zip(feats, strides)
+            ]
+        )
+    else:
+        pooled_all = jnp.stack(
+            [
+                roi_align(f, boxes, output_size, 1.0 / s, sampling_ratio)
+                for f, s in zip(feats, strides)
+            ]
+        )  # (L, R, P, P, C)
     sel = jax.nn.one_hot(target, num_levels, axis=0)  # (L, R)
     return jnp.einsum("lr,lrpqc->rpqc", sel, pooled_all)
