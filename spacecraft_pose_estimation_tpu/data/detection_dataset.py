@@ -167,15 +167,21 @@ def detection_batches(
             "scale": scale,
         }
 
+    keys = ("image", "gt_boxes", "gt_classes", "gt_valid", "image_id", "scale")
     while True:
         order = indices.copy()
         if train:
             rng.shuffle(order)
-        for start in range(0, len(order) - batch_size + 1, batch_size):
-            chunk = [make_example(i) for i in order[start : start + batch_size]]
-            yield {
-                k: np.stack([c[k] for c in chunk])
-                for k in ("image", "gt_boxes", "gt_classes", "gt_valid", "image_id", "scale")
-            }
+        for start in range(0, len(order), batch_size):
+            sel = order[start : start + batch_size]
+            if len(sel) < batch_size:
+                if train:
+                    break  # drop ragged tail during training
+                # eval: pad the tail (duplicates flagged via "count")
+                sel = sel + [sel[-1]] * (batch_size - len(sel))
+            chunk = [make_example(i) for i in sel]
+            batch = {k: np.stack([c[k] for c in chunk]) for k in keys}
+            batch["count"] = min(batch_size, len(order) - start)
+            yield batch
         if not train:
             return

@@ -136,7 +136,7 @@ def main():
 
     def step_fn(state, batch):
         key = jax.random.fold_in(base_key, int(state.step))
-        jb = {k: jnp.asarray(v) for k, v in batch.items() if k not in ("image_id", "scale")}
+        jb = {k: jnp.asarray(v) for k, v in batch.items() if k not in ("image_id", "scale", "count")}
         if aug_fn is not None:
             keys = jax.random.split(jax.random.fold_in(key, 1), jb["image"].shape[0])
             jb["image"] = aug_fn(keys, jb["image"])
@@ -165,8 +165,9 @@ def main():
             ):
                 dets = infer({"params": tr.state.params}, jnp.asarray(batch["image"]))
                 dets = jax.tree_util.tree_map(np.asarray, dets)
-                dets_all.extend(padded_detections_to_list(dets))
-                for i in range(len(batch["image_id"])):
+                count = batch.get("count", len(batch["image_id"]))
+                dets_all.extend(padded_detections_to_list(dets)[:count])
+                for i in range(count):
                     gts_all.append({"boxes": batch["gt_boxes"][i][batch["gt_valid"][i]]})
             res = evaluate_detections(dets_all, gts_all, max_dets=1)
             logger.info("eval: %s", res)
