@@ -62,10 +62,14 @@ class RCNNConfig:
     mask_resolution: int = 14  # pooler res; head output is 2x
 
 
-# The reference's detector preset: config_4 semantics.
+# The reference's detector preset: config_4 semantics. Uses the Pallas
+# DMA pooler (10x faster than the XLA windowed pooler on v5e).
 FASTER_RCNN_X101_SPACECRAFT = RCNNConfig(
     backbone=RESNEXT101_32x8d,
-    roi=ROIHeadsConfig(num_classes=1, cls_agnostic_bbox_reg=True, detections_per_image=2),
+    roi=ROIHeadsConfig(
+        num_classes=1, cls_agnostic_bbox_reg=True, detections_per_image=2,
+        pooler_impl="pallas",
+    ),
 )
 
 RCNN_TINY = RCNNConfig(

@@ -107,18 +107,37 @@ class StandardROIHeads(nn.Module):
         level_feats = {l: feats[l] for l in cfg.in_levels}
         level_strides = tuple(strides[l] for l in cfg.in_levels)
 
-        def pool_one(image_feats, image_boxes):
-            return multilevel_roi_align(
-                [image_feats[l] for l in cfg.in_levels],
-                image_boxes,
-                cfg.pooler_resolution,
-                level_strides,
-                sampling_ratio=cfg.pooler_sampling_ratio,
-                impl=cfg.pooler_impl,
-                window=cfg.pooler_window,
-            )
+        if cfg.pooler_impl == "pallas":
+            from ..ops.pallas_pooler import multilevel_roi_align_pallas
 
-        pooled = jax.vmap(pool_one)(level_feats, boxes)  # (B, R, P, P, C)
+            # one kernel launch per image (B is static); the assigned FPN
+            # level is selected inside the kernel via conditional DMA
+            pooled = jnp.stack(
+                [
+                    multilevel_roi_align_pallas(
+                        tuple(level_feats[l][i] for l in cfg.in_levels),
+                        boxes[i],
+                        cfg.pooler_resolution,
+                        level_strides,
+                        sampling_ratio=cfg.pooler_sampling_ratio,
+                        window=cfg.pooler_window,
+                    )
+                    for i in range(boxes.shape[0])
+                ]
+            )
+        else:
+            def pool_one(image_feats, image_boxes):
+                return multilevel_roi_align(
+                    [image_feats[l] for l in cfg.in_levels],
+                    image_boxes,
+                    cfg.pooler_resolution,
+                    level_strides,
+                    sampling_ratio=cfg.pooler_sampling_ratio,
+                    impl=cfg.pooler_impl,
+                    window=cfg.pooler_window,
+                )
+
+            pooled = jax.vmap(pool_one)(level_feats, boxes)  # (B, R, P, P, C)
         b, r = pooled.shape[0], pooled.shape[1]
         flat = pooled.reshape(b * r, *pooled.shape[2:]).astype(self.dtype)
         x = BoxHead(cfg.fc_dim, cfg.num_fc, dtype=self.dtype, name="box_head")(flat)
