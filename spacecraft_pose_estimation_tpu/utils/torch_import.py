@@ -187,7 +187,9 @@ def _to_numpy(v):
 # ---------------------------------------------------------------------------
 
 
-def detectron2_torch_to_flax(state_dict: dict[str, Any]) -> dict:
+def detectron2_torch_to_flax(
+    state_dict: dict[str, Any], pooler_resolution: int = 7
+) -> dict:
     """Map a detectron2 GeneralizedRCNN ``model.state_dict()`` (torch
     format, FrozenBN as ``.norm.{weight,bias,running_mean,running_var}``)
     onto our rcnn param tree. Returns a partial params tree for
@@ -230,9 +232,26 @@ def detectron2_torch_to_flax(state_dict: dict[str, Any]) -> dict:
         elif tail == "bias":
             put(path, "bias", v)
 
-    def dense(path, tail, v):
+    def dense(path, tail, v, flattens_pooled=False):
         v = np.asarray(v)
         if tail == "weight":
+            if flattens_pooled:
+                # d2's FastRCNNConvFCHead flattens pooled features in NCHW
+                # (C*P*P) order (box_head.py: torch.flatten over NCHW); our
+                # BoxHead flattens NHWC (P*P*C) (models/roi_heads.py:63), so
+                # the first fc's input axis must be permuted, not just
+                # transposed.
+                out_dim, in_dim = v.shape
+                p = pooler_resolution
+                c = in_dim // (p * p)
+                if c * p * p == in_dim:
+                    v = (
+                        v.reshape(out_dim, c, p, p)
+                        .transpose(2, 3, 1, 0)
+                        .reshape(p * p * c, out_dim)
+                    )
+                    put(path, "kernel", v)
+                    return
             put(path, "kernel", v.T)
         elif tail == "bias":
             put(path, "bias", v)
@@ -270,7 +289,12 @@ def detectron2_torch_to_flax(state_dict: dict[str, Any]) -> dict:
             continue
         m = re.match(r"roi_heads\.box_head\.fc(\d)\.(.+)", key)
         if m:
-            dense(["roi_heads", "box_head", f"fc{m.group(1)}"], m.group(2), value)
+            dense(
+                ["roi_heads", "box_head", f"fc{m.group(1)}"],
+                m.group(2),
+                value,
+                flattens_pooled=(m.group(1) == "1"),
+            )
             continue
         m = re.match(r"roi_heads\.box_predictor\.(cls_score|bbox_pred)\.(.+)", key)
         if m:

@@ -51,7 +51,19 @@ def build_synthetic_sd(params):
         sd[f"proposal_generator.rpn_head.{theirs}.bias"] = np.asarray(rh[ours]["bias"])
     bh = params["roi_heads"]["box_head"]
     for k in bh:
-        sd[f"roi_heads.box_head.{k}.weight"] = np.asarray(bh[k]["kernel"]).T
+        kern = np.asarray(bh[k]["kernel"])
+        if k == "fc1":
+            # torch flattens pooled features NCHW: emulate d2's
+            # FastRCNNConvFCHead weight layout (out, C*P*P) from our
+            # NHWC-flatten kernel (P*P*C, out).
+            p = 7
+            c = kern.shape[0] // (p * p)
+            out = kern.shape[1]
+            sd[f"roi_heads.box_head.{k}.weight"] = (
+                kern.reshape(p, p, c, out).transpose(3, 2, 0, 1).reshape(out, c * p * p)
+            )
+        else:
+            sd[f"roi_heads.box_head.{k}.weight"] = kern.T
         sd[f"roi_heads.box_head.{k}.bias"] = np.asarray(bh[k]["bias"])
     pred = params["roi_heads"]["predictor"]
     for k in pred:
@@ -91,3 +103,23 @@ class TestD2Import:
                 np.asarray(node), np.asarray(leaf), atol=1e-6,
                 err_msg="/".join(str(p.key) for p in path),
             )
+
+
+def test_fc1_nchw_flatten_equivalence():
+    """The imported fc1 must reproduce torch's NCHW-flatten matmul when our
+    BoxHead flattens NHWC (ADVICE r1: plain transpose silently permuted
+    fc1's input features)."""
+    rng = np.random.default_rng(1)
+    r_boxes, p, c, out = 3, 7, 5, 8
+    pooled = rng.normal(size=(r_boxes, p, p, c)).astype(np.float32)
+    w_torch = rng.normal(size=(out, c * p * p)).astype(np.float32)
+
+    # torch: flatten NCHW then x @ W.T
+    torch_out = pooled.transpose(0, 3, 1, 2).reshape(r_boxes, -1) @ w_torch.T
+
+    imported = detectron2_torch_to_flax(
+        {"roi_heads.box_head.fc1.weight": w_torch}, pooler_resolution=p
+    )
+    kernel = imported["roi_heads"]["box_head"]["fc1"]["kernel"]
+    ours = pooled.reshape(r_boxes, -1) @ kernel
+    np.testing.assert_allclose(ours, torch_out, rtol=1e-5, atol=1e-5)

@@ -4,7 +4,11 @@
 Covers the reference's two pretrained entry points:
 * HRNet ImageNet/pose state_dicts (hrnet_w32 .pth, PRETRAINED_LAYERS
   filtering) -> landmark TrainState checkpoint,
-* detectron2 GeneralizedRCNN .pth state_dicts -> detector checkpoint.
+* detectron2 GeneralizedRCNN .pth state_dicts -> detector checkpoint,
+* detectron2/Caffe2 model-zoo ``.pkl`` checkpoints (pickle+numpy, no torch;
+  reference: detectron2/checkpoint/detection_checkpoint.py:15,
+  c2_model_loading.py) -> detector checkpoint. ``.pkl`` inputs are
+  auto-detected; ``--kind detectron2`` covers both.
 """
 
 import argparse
@@ -32,22 +36,29 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    import torch
 
     from spacecraft_pose_estimation_tpu.train.checkpoint import CheckpointManager
     from spacecraft_pose_estimation_tpu.train.optim import build_optimizer
     from spacecraft_pose_estimation_tpu.utils import torch_import as TI
 
-    sd = torch.load(args.torch_checkpoint, map_location="cpu", weights_only=False)
-    if isinstance(sd, dict) and "state_dict" in sd:
-        sd = sd["state_dict"]
-    if isinstance(sd, dict) and "model" in sd and all(
-        not hasattr(v, "shape") for v in [sd.get("model")]
-    ):
-        sd = sd["model"]
-    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+    is_pkl = args.torch_checkpoint.endswith(".pkl")
+    if is_pkl:
+        sd = None  # zoo pickle path reads directly below, torch-free
+    else:
+        import torch
+
+        sd = torch.load(args.torch_checkpoint, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        if isinstance(sd, dict) and "model" in sd and all(
+            not hasattr(v, "shape") for v in [sd.get("model")]
+        ):
+            sd = sd["model"]
+        sd = {k.removeprefix("module."): v for k, v in sd.items()}
 
     if args.kind == "hrnet":
+        if is_pkl:
+            ap.error("--kind hrnet expects a torch .pth checkpoint, not .pkl")
         from spacecraft_pose_estimation_tpu.models import build_landmark_model
         from spacecraft_pose_estimation_tpu.train.state import TrainState
 
@@ -73,7 +84,14 @@ def main():
         variables = model.init(
             {"params": jax.random.key(0)}, jnp.zeros((1, h, w, 3)), train=False
         )
-        params = TI.detectron2_torch_to_flax(sd)
+        if is_pkl:
+            from spacecraft_pose_estimation_tpu.utils.zoo_import import (
+                zoo_pickle_to_flax,
+            )
+
+            params = zoo_pickle_to_flax(args.torch_checkpoint)
+        else:
+            params = TI.detectron2_torch_to_flax(sd)
         merged = TI.merge_pretrained(variables, params, {})
         state = DetTrainState.create(model, merged, build_optimizer("sgd", 1e-2))
 
