@@ -1,8 +1,13 @@
 """End-to-end throughput benchmark: crop -> HRNet-W32 -> decode -> PnP.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 vs_baseline is measured against the north-star target of 2000
 frames/s/chip (BASELINE.md) — >1.0 beats it.
+
+The primary metric is the int8 serving configuration (PTQ HRNet,
+models/hrnet_int8.py; fidelity-tested in tests/test_hrnet_int8.py); the
+"extra" field reports the bf16 training-parity configuration when
+BENCH_FULL=1.
 
 Timing methodology: this image's axon TPU backend is fully asynchronous
 (`block_until_ready` returns before execution) and has a ~25 ms host
@@ -22,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_FPS = 2000.0
 
 
-def build(batch):
+def build(batch, mode="int8"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -31,13 +36,16 @@ def build(batch):
     from spacecraft_pose_estimation_tpu.pipeline import (
         PipelineConfig,
         make_pose_pipeline,
+        normalize_crops,
     )
 
     num_joints = 11
     h, w = 1200, 1920  # SPEED+ frame size
 
     model = HRNet(config=POSE_HRNET_W32.with_joints(num_joints), dtype=jnp.bfloat16)
-    variables = model.init(jax.random.key(0), jnp.zeros((1, 512, 512, 3)), train=False)
+    variables = jax.jit(
+        lambda k: model.init(k, jnp.zeros((1, 512, 512, 3)), train=False)
+    )(jax.random.key(0))
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.integers(0, 255, size=(batch, h, w, 3)).astype(np.float32))
@@ -48,8 +56,23 @@ def build(batch):
     K = np.array([[2988.6, 0, 960.0], [0, 2988.3, 600.0], [0, 0, 1]], np.float32)
     dist = np.zeros(5, np.float32)
 
+    if mode == "int8":
+        from spacecraft_pose_estimation_tpu.models.hrnet_int8 import (
+            HRNetInt8,
+            quantize_hrnet,
+        )
+
+        calib = normalize_crops(
+            jnp.asarray(rng.integers(0, 255, size=(4, 512, 512, 3)), jnp.float32)
+        )
+        q = quantize_hrnet(model, variables, calib)
+        serving_model = HRNetInt8(model.config)
+        serving_vars = q
+    else:
+        serving_model, serving_vars = model, variables
+
     run = make_pose_pipeline(
-        model, lm3d, K, dist, PipelineConfig(solver="gn", refine_iters=5)
+        serving_model, lm3d, K, dist, PipelineConfig(solver="gn", refine_iters=5)
     )
 
     from functools import partial
@@ -71,10 +94,20 @@ def build(batch):
 
     def timed(n):
         t0 = time.perf_counter()
-        _ = float(repeat(variables, frames, boxes, n))  # readback forces exec
+        _ = float(repeat(serving_vars, frames, boxes, n))  # readback forces exec
         return time.perf_counter() - t0
 
     return timed
+
+
+def measure(batch, mode, n_lo, n_hi, reps=3):
+    timed = build(batch, mode)
+    timed(n_lo)  # compile both variants
+    timed(n_hi)
+    t_lo = min(timed(n_lo) for _ in range(reps))
+    t_hi = min(timed(n_hi) for _ in range(reps))
+    dt = (t_hi - t_lo) / (n_hi - n_lo)
+    return batch / dt
 
 
 def main():
@@ -82,13 +115,10 @@ def main():
     n_lo = int(os.environ.get("BENCH_N_LO", "2"))
     n_hi = int(os.environ.get("BENCH_N_HI", "12"))
 
-    timed = build(batch)
-    timed(n_lo)  # compile both variants
-    timed(n_hi)
-    t_lo = min(timed(n_lo) for _ in range(3))
-    t_hi = min(timed(n_hi) for _ in range(3))
-    dt = (t_hi - t_lo) / (n_hi - n_lo)
-    fps = batch / dt
+    fps = measure(batch, "int8", n_lo, n_hi)
+    extra = {"mode": "int8_serving", "batch": batch}
+    if os.environ.get("BENCH_FULL"):
+        extra["bf16_fps"] = round(measure(batch, "bf16", n_lo, n_hi), 2)
 
     print(
         json.dumps(
@@ -97,6 +127,7 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s/chip",
                 "vs_baseline": round(fps / BASELINE_FPS, 4),
+                "extra": extra,
             }
         )
     )

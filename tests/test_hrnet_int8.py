@@ -1,0 +1,147 @@
+"""int8 PTQ HRNet: structural completeness + numerical fidelity vs bf16/f32."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spacecraft_pose_estimation_tpu.models.hrnet import (
+    HRNET_TINY,
+    HRNet,
+    POSE_HRNET_W32,
+)
+from spacecraft_pose_estimation_tpu.models.hrnet_int8 import (
+    hrnet_int8_apply,
+    quantize_hrnet,
+)
+
+
+def _conv_sites(params, prefix=()):
+    """All ConvBN sites (have conv+bn children) in the param tree."""
+    out = []
+    for k, v in params.items():
+        if not isinstance(v, dict):
+            continue
+        if "conv" in v and "bn" in v:
+            out.append("/".join(prefix + (k,)))
+        else:
+            out.extend(_conv_sites(v, prefix + (k,)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    model = HRNet(config=HRNET_TINY.with_joints(5))
+    rng = np.random.default_rng(0)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    # non-trivial BN stats + weights so quantization is actually exercised
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+
+    def perturb(path, x):
+        name = path[-1].key
+        if name == "var":
+            return (0.5 + rng.uniform(0.1, 2.0, x.shape)).astype(x.dtype)
+        if name == "mean":
+            return rng.normal(0, 0.3, x.shape).astype(x.dtype)
+        if name in ("kernel", "scale"):
+            return (x + rng.normal(0, 0.05, x.shape)).astype(x.dtype)
+        if name == "bias":
+            return rng.normal(0, 0.1, x.shape).astype(x.dtype)
+        return x
+
+    variables = jax.tree_util.tree_map_with_path(perturb, variables)
+    calib = jnp.asarray(rng.normal(0, 1.2, (4, 64, 64, 3)), jnp.float32)
+    q = quantize_hrnet(model, variables, calib)
+    return model, variables, q, rng
+
+
+def test_walk_consumes_every_convbn(tiny_setup):
+    model, variables, q, _ = tiny_setup
+    sites = set(_conv_sites(variables["params"]))
+    consumed = set(q["convs"].keys())
+    assert sites == consumed, (sites - consumed, consumed - sites)
+    assert q["final"], "final layer missing"
+
+
+def test_int8_matches_f32(tiny_setup):
+    model, variables, q, rng = tiny_setup
+    x = jnp.asarray(rng.normal(0, 1.2, (2, 64, 64, 3)), jnp.float32)
+    ref = np.asarray(model.apply(variables, x, train=False))
+    got = np.asarray(hrnet_int8_apply(model.config, q, x))
+    assert got.shape == ref.shape
+    rng_ref = np.abs(ref).max() + 1e-9
+    rel_err = np.abs(got - ref).max() / rng_ref
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert rel_err < 0.2, rel_err
+    assert corr > 0.97, corr
+
+
+def test_int8_jits_and_is_deterministic(tiny_setup):
+    model, variables, q, rng = tiny_setup
+    x = jnp.asarray(rng.normal(0, 1.2, (2, 64, 64, 3)), jnp.float32)
+    f = jax.jit(lambda q, x: hrnet_int8_apply(model.config, q, x))
+    a = np.asarray(f(q, x))
+    b = np.asarray(f(q, x))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_w32_walk_completeness():
+    """The production config's param tree is fully consumed (no calib run:
+    synthesize a scale table from the walk itself via a quick capture on a
+    small input)."""
+    model = HRNet(config=POSE_HRNET_W32.with_joints(11))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    calib = jnp.zeros((1, 64, 64, 3), jnp.float32) + 0.5
+    q = quantize_hrnet(model, variables, calib)
+    sites = set(_conv_sites(jax.tree_util.tree_map(np.asarray, variables)["params"]))
+    assert sites == set(q["convs"].keys())
+
+
+@pytest.mark.slow
+def test_int8_peak_fidelity_on_trained_model():
+    """On a trained model (peaked heatmaps), int8 argmax peaks must match
+    f32 within 1 heatmap pixel (flat random-init heatmaps are NOT a valid
+    fidelity probe: the argmax there is noise)."""
+    from spacecraft_pose_estimation_tpu.ops import heatmap as hm
+    from spacecraft_pose_estimation_tpu.train.optim import build_optimizer
+    from spacecraft_pose_estimation_tpu.train.state import TrainState, make_train_step
+
+    rng = np.random.default_rng(0)
+    J = 3
+    model = HRNet(config=HRNET_TINY.with_joints(J))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=True)
+    state = TrainState.create(model, variables, build_optimizer("adam", 2e-3))
+    step = jax.jit(make_train_step())
+
+    def make_batch(n):
+        joints = rng.uniform(12, 52, size=(n, J, 2)).astype(np.float32)
+        imgs = np.zeros((n, 64, 64, 3), np.float32)
+        for b in range(n):
+            for j in range(J):
+                x, y = joints[b, j]
+                imgs[b, int(y) - 2 : int(y) + 3, int(x) - 2 : int(x) + 3, j] = 4.0
+        vis = np.ones((n, J), np.float32)
+        tgt, tw = jax.vmap(
+            lambda jj, v: hm.generate_target(jj, v, (64, 64), (16, 16), 1.5)
+        )(jnp.asarray(joints), jnp.asarray(vis))
+        return {"image": jnp.asarray(imgs), "target": tgt, "target_weight": tw}
+
+    for _ in range(120):
+        state, metrics = step(state, make_batch(16))
+    assert float(metrics["loss"]) < 0.01
+
+    ev = {"params": state.params, "batch_stats": state.batch_stats}
+    batch = make_batch(32)
+    q = quantize_hrnet(model, ev, batch["image"][:8])
+    hm_f32 = np.asarray(model.apply(ev, batch["image"], train=False))
+    hm_i8 = np.asarray(hrnet_int8_apply(model.config, q, batch["image"]))
+
+    def peaks(h):
+        B, H, W, Jj = h.shape
+        flat = h.reshape(B, H * W, Jj).argmax(1)
+        return np.stack([flat % W, flat // W], -1)
+
+    d = np.abs(peaks(hm_f32) - peaks(hm_i8))
+    assert d.max() <= 1, d.max()
+    assert np.corrcoef(hm_f32.ravel(), hm_i8.ravel())[0, 1] > 0.99
