@@ -96,17 +96,21 @@ def _match_image(det_boxes, det_scores, gt_boxes, iou_thr, area_range, max_dets)
     gt_taken = np.zeros(len(gt_boxes), bool)
     matched = np.zeros(len(det_boxes), bool)
     ignored = np.zeros(len(det_boxes), bool)
+    # pycocotools COCOeval.evaluateImg order: gts sorted ignore-last;
+    # equal IoU re-matches (later gt in sorted order wins), and once the
+    # running best is a non-ignored gt the scan STOPS at the first
+    # ignored gt — an ignored gt can never steal a real match.
+    gt_order = np.argsort(gt_ignore, kind="stable")
     for d in range(len(det_boxes)):
-        best, best_iou = -1, iou_thr
-        for g in range(len(gt_boxes)):
+        best, best_iou = -1, min(iou_thr, 1 - 1e-10)
+        for g in gt_order:
             if gt_taken[g]:
                 continue
-            if iou[d, g] >= best_iou:
-                # prefer non-ignored gt; an ignored match only counts as
-                # ignore (pycocotools semantics simplified: match best iou)
-                if best >= 0 and gt_ignore[g] and not gt_ignore[best]:
-                    continue
-                best, best_iou = g, iou[d, g]
+            if best >= 0 and not gt_ignore[best] and gt_ignore[g]:
+                break
+            if iou[d, g] < best_iou:
+                continue
+            best, best_iou = g, iou[d, g]
         if best >= 0:
             gt_taken[best] = True
             if gt_ignore[best]:

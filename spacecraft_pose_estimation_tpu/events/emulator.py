@@ -150,10 +150,17 @@ def emulate_frame(
         base = base - dt * leak_rate * state.pos_thres
 
     diff = lp1 - base
-    pos_counts = jnp.floor(jnp.maximum(diff, 0.0) / state.pos_thres).astype(jnp.int32)
-    neg_counts = jnp.floor(jnp.maximum(-diff, 0.0) / state.neg_thres).astype(jnp.int32)
-    pos_counts = jnp.minimum(pos_counts, cfg.max_iters)
-    neg_counts = jnp.minimum(neg_counts, cfg.max_iters)
+    pos_counts_raw = jnp.floor(jnp.maximum(diff, 0.0) / state.pos_thres).astype(jnp.int32)
+    neg_counts_raw = jnp.floor(jnp.maximum(-diff, 0.0) / state.neg_thres).astype(jnp.int32)
+    pos_counts = jnp.minimum(pos_counts_raw, cfg.max_iters)
+    neg_counts = jnp.minimum(neg_counts_raw, cfg.max_iters)
+    # Events clipped by the static cap this frame. The reference iterates to
+    # the true per-pixel max (emulator.py:468); under a static shape we clamp
+    # instead, but report the clip so callers can rerun with a larger
+    # ``max_iters``. Clipped events are NOT lost from the signal: the base
+    # frame only advances by emitted events, so the residual re-triggers on
+    # the next frame.
+    overflow = jnp.sum(pos_counts_raw - pos_counts) + jnp.sum(neg_counts_raw - neg_counts)
     num_iters = jnp.maximum(jnp.maximum(pos_counts.max(), neg_counts.max()), 1)
 
     ts_step = dt / num_iters
@@ -216,6 +223,7 @@ def emulate_frame(
         "ts": ts,
         "iter_valid": iter_valid,
         "num_events": jnp.sum(final_pos) + jnp.sum(final_neg),
+        "overflow": overflow,
     }
     return new_state, out
 

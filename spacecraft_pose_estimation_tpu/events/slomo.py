@@ -82,11 +82,23 @@ class UNet(nn.Module):
         return leaky(nn.Conv(self.out_channels, (3, 3), padding=1, name="conv3")(u))
 
 
-def backwarp(img: Array, flow: Array) -> Array:
-    """Warp img (B,H,W,C) backwards along flow (B,H,W,2) [u, v]."""
+def backwarp(img: Array, flow: Array, mode: str = "exact") -> Array:
+    """Warp img (B,H,W,C) backwards along flow (B,H,W,2) [u, v].
+
+    mode="exact": sample at (x+u, y+v) with border clamping — the clean
+    formulation (zero flow is the identity).
+
+    mode="torch": bit-parity with the reference backWarp
+    (v2ecore/model.py:268-300): it normalizes by 2*(x/W - 0.5) and calls
+    grid_sample with default align_corners=False + zero padding, which
+    actually samples at (x+u-0.5, y+v-0.5) and zeroes out-of-image taps.
+    The official SuperSloMo39.ckpt was trained with this sampling, so
+    checkpoint inference must use it.
+    """
     b, h, w, _ = img.shape
-    xs = jax.lax.broadcasted_iota(jnp.float32, (b, h, w), 2) + flow[..., 0]
-    ys = jax.lax.broadcasted_iota(jnp.float32, (b, h, w), 1) + flow[..., 1]
+    shift = 0.5 if mode == "torch" else 0.0
+    xs = jax.lax.broadcasted_iota(jnp.float32, (b, h, w), 2) + flow[..., 0] - shift
+    ys = jax.lax.broadcasted_iota(jnp.float32, (b, h, w), 1) + flow[..., 1] - shift
 
     x0 = jnp.floor(xs)
     y0 = jnp.floor(ys)
@@ -97,7 +109,11 @@ def backwarp(img: Array, flow: Array) -> Array:
         yi_c = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
         xi_c = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
         batch_idx = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 0)
-        return img[batch_idx, yi_c, xi_c]
+        val = img[batch_idx, yi_c, xi_c]
+        if mode == "torch":  # zero padding: drop out-of-image taps
+            inside = (yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1)
+            val = val * inside[..., None]
+        return val
 
     v00 = gather(y0, x0)
     v01 = gather(y0, x0 + 1)
@@ -127,8 +143,10 @@ class SuperSloMo(nn.Module):
         ft0_hat = -(1 - t) * t * f01 + t * t * f10
         ft1_hat = (1 - t) * (1 - t) * f01 - t * (1 - t) * f10
 
-        g0 = backwarp(frame0, ft0_hat)
-        g1 = backwarp(frame1, ft1_hat)
+        # "torch" warp mode: SuperSloMo39.ckpt was trained with the
+        # reference's grid_sample sampling (slomo.py:415-426 warper)
+        g0 = backwarp(frame0, ft0_hat, mode="torch")
+        g1 = backwarp(frame1, ft1_hat, mode="torch")
 
         interp_in = jnp.concatenate(
             [frame0, frame1, f01, f10, ft1_hat, ft0_hat, g1, g0], axis=-1
@@ -139,16 +157,18 @@ class SuperSloMo(nn.Module):
         v0 = jax.nn.sigmoid(interp_out[..., 4:5])
         v1 = 1 - v0
 
-        g0r = backwarp(frame0, ft0)
-        g1r = backwarp(frame1, ft1)
+        g0r = backwarp(frame0, ft0, mode="torch")
+        g1r = backwarp(frame1, ft1, mode="torch")
         wgt0 = (1 - t) * v0
         wgt1 = t * v1
         return (wgt0 * g0r + wgt1 * g1r) / jnp.maximum(wgt0 + wgt1, 1e-8)
 
 
 def interpolate_pair(model, variables, frame0: Array, frame1: Array, n: int) -> Array:
-    """frame pair -> n intermediate frames at t = (i+1)/(n+1)."""
-    ts = (jnp.arange(n) + 1) / (n + 1)
+    """frame pair -> n frames at the reference's midpoint schedule
+    t = (i + 0.5) / n (slomo.py:407: covers [0, 1) so consecutive pairs
+    tile the timeline without duplicating the endpoint frames)."""
+    ts = (jnp.arange(n) + 0.5) / n
 
     def one(t):
         return model.apply(variables, frame0, frame1, jnp.full((frame0.shape[0],), t))
@@ -158,8 +178,9 @@ def interpolate_pair(model, variables, frame0: Array, frame1: Array, n: int) -> 
 
 def auto_upsampling_factor(max_flow_px: Array, limit_px: float = 1.0) -> Array:
     """v2e --auto_timestamp_resolution: interpolate so max flow <= 1 px
-    per interpolated frame (slomo.py auto-upsample)."""
-    return jnp.maximum(jnp.ceil(max_flow_px / limit_px).astype(jnp.int32), 1)
+    per interpolated frame; the reference clamps the factor to >= 2
+    (slomo.py:385-387)."""
+    return jnp.maximum(jnp.ceil(max_flow_px / limit_px).astype(jnp.int32), 2)
 
 
 # ---------------------------------------------------------------------------

@@ -18,8 +18,9 @@ Architecture notes vs the reference (deliberate, TPU-native):
   - trunk init is he-normal rather than the reference's N(0, 0.001)
     (which it always overwrote with ImageNet weights); heads use
     N(0, 0.001) as the reference does,
-  - deconv padding uses XLA 'SAME' (output sizes match torch's
-    k5/s4/p1/op1 and k3/s2/p1/op1 exactly).
+  - deconv padding is the explicit torch-equivalent (k-2, k-1) per side,
+    so k5/s4/p1/op1 and k3/s2/p1/op1 match torch bit-for-bit (importer
+    flips the kernel spatially; see utils/torch_import.hrnet_torch_to_flax).
 """
 
 from __future__ import annotations
@@ -209,11 +210,17 @@ class CMSHead(nn.Module):
     @nn.compact
     def __call__(self, x):
         k = 5 if self.deconv_stride == 4 else 3
+        # torch ConvTranspose2d(k, stride, padding=1, output_padding=1)
+        # equals XLA conv_transpose with explicit per-side padding
+        # (k-1-p, k-1-p+op) = (k-2, k-1); verified numerically against the
+        # reference heads (hrnet_cms.py:353-369). 'SAME' would shift the
+        # output grid, breaking checkpoint parity and keypoint alignment.
+        pad = (k - 2, k - 1)
         x = nn.ConvTranspose(
             self.deconv_channels,
             (k, k),
             strides=(self.deconv_stride, self.deconv_stride),
-            padding="SAME",
+            padding=(pad, pad),
             kernel_init=_head_init,
             dtype=self.dtype,
             name="deconv",
@@ -235,15 +242,17 @@ class HRNet(nn.Module):
     Call returns:
       - head == 'classic': (B, H/4, W/4, J) heatmaps.
       - head in ('cms', 'cms_half'), train=False: fused finest map.
-      - head in ('cms', 'cms_half'), train=True: tuple of 4 maps,
-        finest-first, each half the resolution of the previous.
+      - head in ('cms', 'cms_half'), train=True or return_all_scales:
+        tuple of 4 maps, finest-first, each half the resolution of the
+        previous (return_all_scales gives the 4-scale maps under eval
+        BN stats — used by DA evaluation and parity tests).
     """
 
     config: HRNetConfig = POSE_HRNET_W32
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_all_scales: bool = False):
         cfg = self.config
         x = x.astype(self.dtype)
 
@@ -297,6 +306,6 @@ class HRNet(nn.Module):
         x3 = heads[2] + upsample_bilinear(x4, 2)
         x2 = heads[1] + upsample_bilinear(x3, 2)
         x1 = heads[0] + upsample_bilinear(x2, 2)
-        if train:
+        if train or return_all_scales:
             return x1, x2, x3, x4
         return x1

@@ -146,6 +146,27 @@ def hrnet_torch_to_flax(
                 _set(params, ["final_layer"], "bias", np.asarray(value))
             continue
 
+        # CMS heads (hrnet_cms.py:353-420: final_layer{N}_equal_to_image;
+        # hrnet_cms_384.py:353-412: final_layer{N}_4x):
+        #   .0 = ConvTranspose2d -> head{i}/deconv
+        #   .1 = Conv2d          -> head{i}/conv
+        m = re.match(r"final_layer(\d?)_(?:equal_to_image|4x)\.([01])\.(weight|bias)", key)
+        if m:
+            idx = int(m.group(1)) - 1 if m.group(1) else 0
+            unit = "deconv" if m.group(2) == "0" else "conv"
+            v = np.asarray(value)
+            if m.group(3) == "bias":
+                _set(params, [f"head{idx}", unit], "bias", v)
+            elif unit == "deconv":
+                # torch ConvTranspose2d weight is (in, out, kh, kw) and is
+                # applied in flipped orientation relative to XLA's
+                # conv_transpose — flip spatially, then to (kh, kw, in, out).
+                _set(params, [f"head{idx}", unit], "kernel",
+                     v[:, :, ::-1, ::-1].transpose(2, 3, 0, 1))
+            else:
+                _set(params, [f"head{idx}", unit], "kernel", v.transpose(2, 3, 1, 0))
+            continue
+
     return params, stats
 
 

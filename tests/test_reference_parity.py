@@ -125,3 +125,104 @@ class TestHRNetForwardParity:
         n_mapped = count_leaves(params) + count_leaves(stats)
         n_torch = sum(1 for k in sd if "num_batches_tracked" not in k)
         assert n_mapped == n_torch, (n_mapped, n_torch)
+
+
+class AttrDict(dict):
+    """Minimal yacs-like node: attribute + item access, recursively."""
+
+    def __getattr__(self, k):
+        v = self[k]
+        return AttrDict(v) if isinstance(v, dict) else v
+
+
+@pytest.fixture(scope="module")
+def reference_cms_modules():
+    if not os.path.isdir(REF_LIB):
+        pytest.skip("reference checkout not available")
+    sys.path.insert(0, REF_LIB)
+    try:
+        from models import hrnet_cms as ref_cms
+        from models import hrnet_cms_384 as ref_cms_384
+    finally:
+        sys.path.remove(REF_LIB)
+    return ref_cms, ref_cms_384
+
+
+class TestCMSForwardParity:
+    """hrnet_cms / hrnet_cms_384 vs the reference torch modules
+    (hrnet_cms.py:324-420,551-562; hrnet_cms_384.py:353-412) — trunk with
+    all four stage-4 branches kept, per-branch deconv heads, top-down
+    bilinear fusion, and the train-mode 4-tuple contract."""
+
+    def _run(self, ref_module, head, deconv_stride):
+        import dataclasses
+
+        from spacecraft_pose_estimation_tpu.models.hrnet import (
+            HRNet,
+            HRNetConfig,
+            StageSpec,
+        )
+        from spacecraft_pose_estimation_tpu.utils.torch_import import (
+            hrnet_torch_to_flax,
+            merge_pretrained,
+        )
+
+        num_joints = 4
+        torch.manual_seed(1)
+        ref = ref_module.get_pose_net(AttrDict(tiny_ref_cfg(num_joints)), is_train=False)
+        ref.eval()
+        with torch.no_grad():
+            for m in ref.modules():
+                if isinstance(m, torch.nn.BatchNorm2d):
+                    m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                    m.running_var.copy_(torch.rand_like(m.running_var) + 0.5)
+
+        ours_cfg = HRNetConfig(
+            num_joints=num_joints,
+            stem_channels=64,
+            stage1_blocks=4,
+            stage2=StageSpec(1, 2, (1, 1), (4, 8)),
+            stage3=StageSpec(1, 3, (1, 1, 1), (4, 8, 16)),
+            stage4=StageSpec(1, 4, (1, 1, 1, 1), (4, 8, 16, 32)),
+            head=head,
+        )
+        model = HRNet(config=ours_cfg)
+        size = 64
+        variables = model.init(jax.random.key(0), jnp.zeros((1, size, size, 3)), train=False)
+        params, stats = hrnet_torch_to_flax(ref.state_dict(), pretrained_layers=("*",))
+        merged = merge_pretrained(variables, params, stats)
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 3, size, size)).astype(np.float32)
+        with torch.no_grad():
+            ref_eval = ref(torch.tensor(x)).numpy()
+        ours_eval = model.apply(merged, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+        ours_eval = np.asarray(ours_eval).transpose(0, 3, 1, 2)
+        assert ours_eval.shape == ref_eval.shape
+        expect_hw = size // (deconv_stride // 4 if deconv_stride == 4 else 2)
+        assert ref_eval.shape[-1] == (size if deconv_stride == 4 else size // 2)
+        np.testing.assert_allclose(ours_eval, ref_eval, atol=3e-4, rtol=1e-3)
+
+        # train-mode 4-tuple (torch .train() only changes BN; compare the
+        # multi-scale outputs using eval BN stats on both sides)
+        ref.train()
+        with torch.no_grad():
+            for m in ref.modules():
+                if isinstance(m, torch.nn.BatchNorm2d):
+                    m.eval()
+            ref_tuple = [t.numpy() for t in ref(torch.tensor(x))]
+        ours_tuple = model.apply(
+            merged, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False,
+            return_all_scales=True,
+        )
+        assert len(ours_tuple) == 4
+        for a, b in zip(ours_tuple, ref_tuple):
+            np.testing.assert_allclose(
+                np.asarray(a).transpose(0, 3, 1, 2), b, atol=3e-4, rtol=1e-3
+            )
+
+    def test_hrnet_cms(self, reference_cms_modules):
+        self._run(reference_cms_modules[0], "cms", 4)
+
+    def test_hrnet_cms_384(self, reference_cms_modules):
+        self._run(reference_cms_modules[1], "cms_half", 2)

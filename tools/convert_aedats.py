@@ -2,10 +2,11 @@
 """Real event recordings -> undistorted event frames per scene
 (v2e/convert_aedats.py + aedat_to_csv.py equivalents).
 
-Supports AEDAT-2.0 (our binary reader) and events CSV inputs; AEDAT-4
-requires the `aedat` package (not bundled) — a clear error is raised.
-Each recording becomes events CSV -> duration-exposure frames ->
-cv2.undistort with the calibration intrinsics.
+Supports AEDAT-2.0 (our binary reader), AEDAT-4 (native decoder,
+events/aedat4.py — flatbuffer container with NONE/LZ4/ZSTD packet
+compression) and events CSV inputs. Each recording becomes events CSV
+-> duration-exposure frames -> cv2.undistort with the calibration
+intrinsics.
 """
 
 import argparse
@@ -27,27 +28,15 @@ def load_events(path: str, width: int, height: int):
     if path.endswith(".csv"):
         return ev_io.read_events_csv(path, force_pos_polarity=False)
     if path.endswith(".aedat4"):
-        try:
-            import aedat  # noqa: F401
-        except ImportError as e:
-            raise SystemExit(
-                "AEDAT-4 decoding needs the `aedat` package (not bundled in "
-                "this image); convert to CSV first or record AEDAT-2.0"
-            ) from e
         import numpy as np
 
-        decoder = aedat.Decoder(path)
-        rows = []
-        for packet in decoder:
-            if "events" in packet:
-                ev = packet["events"]
-                rows.append(
-                    np.stack(
-                        [ev["t"] / 1e6, ev["x"], ev["y"], 2 * ev["on"].astype(np.int64) - 1],
-                        axis=1,
-                    )
-                )
-        return np.concatenate(rows) if rows else np.zeros((0, 4))
+        from spacecraft_pose_estimation_tpu.events.aedat4 import read_aedat4
+
+        ev_us = read_aedat4(path)  # (N, 4) int64 [t_us, x, y, p 0/1]
+        ev = ev_us.astype(np.float64)
+        ev[:, 0] /= 1e6
+        ev[:, 3] = 2 * ev[:, 3] - 1
+        return ev
     raise SystemExit(f"unsupported recording format: {path}")
 
 

@@ -36,11 +36,21 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--input-size", type=int, default=768)
+    ap.add_argument(
+        "--staged",
+        action="store_true",
+        help="run the three stages as separate processes glued by the file "
+        "contract (reference evaluate_pipeline.py:48-91 semantics) instead "
+        "of the fused one-graph mode",
+    )
     ap.add_argument("opts", nargs="*", help="KEY VALUE config override pairs")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
     logger = logging.getLogger("evaluate_pipeline")
+
+    if args.staged:
+        return run_staged(args, logger)
 
     import cv2
     import jax
@@ -176,6 +186,89 @@ def main():
             names, Rs, ts, os.path.join(out_dir, "opencv_poses.json")
         )
         logger.info("scene %s done -> %s", scene, out_dir)
+
+
+def run_staged(args, logger):
+    """Stage-by-stage subprocess contract (evaluate_pipeline.py:48-91):
+    each stage is an independent process consuming/producing the
+    reference's on-disk artifacts, so any stage can be re-run standalone
+    (detector -> real_test.json, landmarks -> pred.mat, PnP ->
+    opencv_poses.json)."""
+    import subprocess
+
+    import cv2
+    import numpy as np
+
+    tools_dir = os.path.dirname(os.path.abspath(__file__))
+
+    def run(cmd):
+        logger.info("staged: %s", " ".join(cmd))
+        r = subprocess.run([sys.executable] + cmd, capture_output=True, text=True)
+        if r.returncode != 0:
+            raise RuntimeError(
+                f"stage failed: {cmd}\nstdout:{r.stdout[-3000:]}\nstderr:{r.stderr[-3000:]}"
+            )
+
+    with open(args.landmarks_file) as f:
+        num_landmarks = sum(1 for line in f) - 1  # header row
+
+    scenes = args.scenes or sorted(
+        d for d in os.listdir(args.scenes_dir)
+        if os.path.isdir(os.path.join(args.scenes_dir, d))
+    )
+    for scene in scenes:
+        scene_dir = os.path.join(args.scenes_dir, scene)
+        out_dir = os.path.join(args.output_dir, scene)
+        os.makedirs(out_dir, exist_ok=True)
+        files = sorted(
+            f for f in os.listdir(scene_dir)
+            if f.lower().endswith((".png", ".jpg", ".bmp"))
+        )
+        if not files:
+            logger.warning("scene %s: no frames, skipping", scene)
+            continue
+        h, w = cv2.imread(os.path.join(scene_dir, files[0])).shape[:2]
+
+        # [1] detection -> real_test.json (export_object_detection_bounding_boxes)
+        cmd = [
+            os.path.join(tools_dir, "export_boxes.py"),
+            "--image-dir", scene_dir,
+            "--checkpoint", args.detector_checkpoint,
+            "--output-dir", out_dir,
+            "--image-width", str(w), "--image-height", str(h),
+            "--input-size", str(args.input_size),
+            "--landmarks-count", str(num_landmarks),
+            "--batch-size", str(args.batch_size),
+            "--no-debug-images",
+        ]
+        if args.tiny:
+            cmd.append("--tiny")
+        run(cmd)
+
+        # [2] landmark regression -> pred.mat (tools/test.py)
+        run([
+            os.path.join(tools_dir, "test_landmarks.py"),
+            "--preset", args.preset,
+            "--test-json", os.path.join(out_dir, "real_test.json"),
+            "--image-dir", scene_dir,
+            "--checkpoint", args.landmark_checkpoint,
+            "--output", out_dir,
+            "--pred-name", "pred",
+            *args.opts,
+        ])
+
+        # [3] PnP -> opencv_poses.json (export_predicted_poses_real)
+        run([
+            os.path.join(tools_dir, "export_poses.py"),
+            "--frames-dir", scene_dir,
+            "--detection-annotations", os.path.join(out_dir, "real_test.json"),
+            "--pose-annotations", os.path.join(out_dir, "pred.mat"),
+            "--landmarks-file", args.landmarks_file,
+            "--calibration-file", args.calibration_file,
+            "--output-dir", out_dir,
+            "--no-render",
+        ])
+        logger.info("scene %s done (staged) -> %s", scene, out_dir)
 
 
 if __name__ == "__main__":

@@ -120,13 +120,15 @@ def main():
         model = SuperSloMo()
         f01 = jnp.asarray(frames[:1, :, :, None] / 255.0)
         variables = model.init(jax.random.key(0), f01, f01, jnp.asarray([0.5]))
-        out_frames = [frames[0]]
+        # reference schedule (slomo.py:405-433): each source pair yields
+        # `upsampling_factor` midpoint frames at t=(i+0.5)/U; source
+        # frames themselves are not re-emitted
+        out_frames = []
         for i in range(n - 1):
             a = jnp.asarray(frames[i : i + 1, :, :, None] / 255.0)
             b = jnp.asarray(frames[i + 1 : i + 2, :, :, None] / 255.0)
-            mids = interpolate_pair(model, variables, a, b, args.slomo_upsample - 1)
+            mids = interpolate_pair(model, variables, a, b, args.slomo_upsample)
             out_frames.extend(np.asarray(mids)[:, 0, :, :, 0] * 255.0)
-            out_frames.append(frames[i + 1])
         frames = np.stack(out_frames)
         n = len(frames)
         print(f"slomo upsampled to {n} frames "
