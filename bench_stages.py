@@ -128,6 +128,59 @@ def main():
         v = marginal_time(fn, *args)
         print(f"{name:24s} {v * 1e3:9.2f} ms/batch   {batch / v:10.1f} fps", flush=True)
 
+    bench_loader(batch)
+
+
+def bench_loader(batch):
+    """Host input-pipeline throughput (VERDICT r1 #7): the loader must
+    feed >= 2x the device frames/s so the chip never starves. Measures
+    full-size JPEG decode via the thread-pool loader vs serial."""
+    import tempfile
+
+    import cv2
+
+    from spacecraft_pose_estimation_tpu.data.loader import (
+        default_num_workers,
+        parallel_batches,
+    )
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as d:
+        paths = []
+        for i in range(16):
+            img = rng.integers(0, 255, (1200, 1920, 3), np.uint8)
+            p = os.path.join(d, f"{i}.jpg")
+            cv2.imwrite(p, img, [cv2.IMWRITE_JPEG_QUALITY, 90])
+            paths.append(p)
+
+        def make(i):
+            return cv2.imread(paths[i % len(paths)], cv2.IMREAD_COLOR)
+
+        def stream(nb):
+            for b in range(nb):
+                yield b, [(b * batch + j) for j in range(batch)]
+
+        def run(workers, nb):
+            t0 = time.perf_counter()
+            n = 0
+            for out in parallel_batches(
+                stream(nb), make, lambda m, exs: len(exs), num_workers=workers
+            ):
+                n += out
+            return n / (time.perf_counter() - t0)
+
+        run(0, 1)  # warm the page cache
+        serial = run(0, 4)
+        par = run(default_num_workers(), 8)
+        print(
+            f"{'loader_serial':24s} {'':9s}            {serial:10.1f} fps", flush=True
+        )
+        print(
+            f"{'loader_parallel(x' + str(default_num_workers()) + ')':24s} "
+            f"{'':9s}            {par:10.1f} fps",
+            flush=True,
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -23,6 +23,7 @@ from typing import Iterator
 import numpy as np
 
 from . import coco_io
+from .loader import parallel_batches
 
 
 def letterbox(img: np.ndarray, target_hw: tuple[int, int]) -> tuple[np.ndarray, float]:
@@ -125,17 +126,23 @@ def detection_batches(
     augment: bool = True,
     process_index: int = 0,
     process_count: int = 1,
+    num_workers: int | None = None,
+    prefetch: int = 4,
 ) -> Iterator[dict]:
-    """Infinite (train) / single-pass (eval) fixed-shape batches.
+    """Infinite (train) / single-pass (eval) fixed-shape batches, decoded
+    and augmented on a thread pool (data/loader.py).
 
     Multi-host sharding: each process takes every `process_count`-th
     example (distributed_sampler.py:15 semantics)."""
     rng = random.Random(seed + process_index)
-    nprng = np.random.default_rng(seed + process_index)
     n = len(examples)
     indices = list(range(process_index, n, process_count))
 
-    def make_example(i):
+    def make_example(key):
+        epoch, i = key
+        # per-(epoch, example) rng: thread-safe AND order-independent, so
+        # parallel decoding reproduces the serial stream exactly
+        nprng = np.random.default_rng((seed + process_index, epoch, i))
         ex = examples.load(i)
         img, boxes = ex["image"].astype(np.float32), ex["boxes"].copy()
         if train and augment:
@@ -168,20 +175,32 @@ def detection_batches(
         }
 
     keys = ("image", "gt_boxes", "gt_classes", "gt_valid", "image_id", "scale")
-    while True:
-        order = indices.copy()
-        if train:
-            rng.shuffle(order)
-        for start in range(0, len(order), batch_size):
-            sel = order[start : start + batch_size]
-            if len(sel) < batch_size:
-                if train:
-                    break  # drop ragged tail during training
-                # eval: pad the tail (duplicates flagged via "count")
-                sel = sel + [sel[-1]] * (batch_size - len(sel))
-            chunk = [make_example(i) for i in sel]
-            batch = {k: np.stack([c[k] for c in chunk]) for k in keys}
-            batch["count"] = min(batch_size, len(order) - start)
-            yield batch
-        if not train:
-            return
+
+    def index_gen():
+        epoch = 0
+        while True:
+            order = indices.copy()
+            if train:
+                rng.shuffle(order)
+            for start in range(0, len(order), batch_size):
+                sel = order[start : start + batch_size]
+                if len(sel) < batch_size:
+                    if train:
+                        break  # drop ragged tail during training
+                    # eval: pad the tail (duplicates flagged via "count")
+                    sel = sel + [sel[-1]] * (batch_size - len(sel))
+                count = min(batch_size, len(order) - start)
+                yield count, [(epoch, i) for i in sel]
+            if not train:
+                return
+            epoch += 1
+
+    def collate(count, chunk):
+        batch = {k: np.stack([c[k] for c in chunk]) for k in keys}
+        batch["count"] = count
+        return batch
+
+    yield from parallel_batches(
+        index_gen(), make_example, collate,
+        num_workers=num_workers, prefetch_batches=prefetch,
+    )

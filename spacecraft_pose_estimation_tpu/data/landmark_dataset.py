@@ -16,8 +16,6 @@ TPU-native split:
 from __future__ import annotations
 
 import os
-import queue
-import threading
 from functools import partial
 from typing import Iterator
 
@@ -31,6 +29,7 @@ from ..ops import warp as warp_ops
 from ..ops.geometry import apply_affine, bbox_to_center_scale, crop_affine_matrix
 from ..pipeline import normalize_crops
 from . import coco_io
+from .loader import parallel_batches
 
 Array = jax.Array
 
@@ -75,44 +74,36 @@ def batch_iterator(
     shuffle: bool = True,
     seed: int = 0,
     loop: bool = True,
-    prefetch: int = 2,
+    prefetch: int = 4,
+    num_workers: int | None = None,
 ) -> Iterator[dict]:
-    """Infinite (or single-pass) shuffled numpy batches with a prefetch
-    thread — the stand-in for torch DataLoader worker processes."""
+    """Infinite (or single-pass) shuffled numpy batches, decoded by a
+    cv2-GIL-releasing thread pool with `prefetch` batches in flight —
+    the stand-in for torch DataLoader worker processes (data/loader.py)."""
 
-    def gen():
+    def index_gen():
         rng = np.random.default_rng(seed)
         n = len(examples)
         while True:
             order = rng.permutation(n) if shuffle else np.arange(n)
             for start in range(0, n - batch_size + 1, batch_size):
-                idx = order[start : start + batch_size]
-                exs = [examples.example(int(i)) for i in idx]
-                yield {
-                    "image": np.stack([e["image"] for e in exs]),
-                    "bbox": np.stack([e["bbox"] for e in exs]),
-                    "joints": np.stack([e["joints"] for e in exs]),
-                    "joints_vis": np.stack([e["joints_vis"] for e in exs]),
-                    "image_id": np.array([e["image_id"] for e in exs]),
-                }
+                yield None, [int(i) for i in order[start : start + batch_size]]
             if not loop:
                 return
 
-    q: queue.Queue = queue.Queue(maxsize=prefetch)
-    stop = object()
+    def collate(_meta, exs):
+        return {
+            "image": np.stack([e["image"] for e in exs]),
+            "bbox": np.stack([e["bbox"] for e in exs]),
+            "joints": np.stack([e["joints"] for e in exs]),
+            "joints_vis": np.stack([e["joints_vis"] for e in exs]),
+            "image_id": np.array([e["image_id"] for e in exs]),
+        }
 
-    def worker():
-        for item in gen():
-            q.put(item)
-        q.put(stop)
-
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is stop:
-            return
-        yield item
+    yield from parallel_batches(
+        index_gen(), examples.example, collate,
+        num_workers=num_workers, prefetch_batches=prefetch,
+    )
 
 
 def sample_augmentation(

@@ -20,7 +20,6 @@ from ..ops import nms as nms_ops
 from .fpn import FPN
 from .resnet_backbone import RESNET_TINY, ResNetBackbone, ResNetConfig
 from .retinanet import RETINA_STRIDES, sigmoid_focal_loss
-from .rpn import smooth_l1
 
 Array = jax.Array
 Dtype = Any
@@ -43,6 +42,7 @@ class FCOSConfig:
     num_convs: int = 4
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
+    center_sample_radius: float = 1.5  # x stride, FCOS center sampling
     score_thresh: float = 0.05
     nms_thresh: float = 0.6
     topk_candidates: int = 1000
@@ -130,6 +130,7 @@ class FCOS(nn.Module):
         ctr = jnp.concatenate(ctr_all, axis=1)
         centers = jnp.concatenate(centers_all, axis=0)  # (N, 2)
         ranges = jnp.concatenate(range_all, axis=0)  # (N, 2)
+        strides = jnp.concatenate(stride_all, axis=0)  # (N,)
 
         boxes_pred = jnp.stack(
             [
@@ -156,7 +157,16 @@ class FCOS(nn.Module):
                 inside = jnp.min(ltrb_gt, axis=-1) > 0
                 max_d = jnp.max(ltrb_gt, axis=-1)
                 in_range = (max_d >= ranges[None, :, 0]) & (max_d <= ranges[None, :, 1])
-                candidate = inside & in_range & gv[:, None]
+                # center sampling (FCOS "+improvements"): a location is
+                # positive only within radius*stride of the gt center
+                # (intersected with the gt box via `inside`)
+                gt_cx = (gb[:, None, 0] + gb[:, None, 2]) / 2
+                gt_cy = (gb[:, None, 1] + gb[:, None, 3]) / 2
+                rad = cfg.center_sample_radius * strides[None, :]
+                near_center = (jnp.abs(centers[None, :, 0] - gt_cx) <= rad) & (
+                    jnp.abs(centers[None, :, 1] - gt_cy) <= rad
+                )
+                candidate = inside & in_range & near_center & gv[:, None]
                 areas = box_ops.box_area(gb)
                 area_mat = jnp.where(candidate, areas[:, None], jnp.inf)
                 best_gt = jnp.argmin(area_mat, axis=0)  # (N,)
@@ -166,7 +176,6 @@ class FCOS(nn.Module):
                     sigmoid_focal_loss(lg, cls_t, cfg.focal_alpha, cfg.focal_gamma)
                 )
                 gt_box = gb[best_gt]
-                reg = jnp.sum(smooth_l1(bp, gt_box, 0.1), axis=-1)
                 lt = jnp.take_along_axis(ltrb_gt, best_gt[None, :, None], axis=0)[0]
                 lr_min = jnp.minimum(lt[:, 0], lt[:, 2])
                 lr_max = jnp.maximum(lt[:, 0], lt[:, 2])
@@ -176,11 +185,16 @@ class FCOS(nn.Module):
                     jnp.clip((lr_min / jnp.maximum(lr_max, 1e-6))
                              * (tb_min / jnp.maximum(tb_max, 1e-6)), 0.0, 1.0)
                 )
+                # FCOS regression: GIoU on decoded boxes, weighted by the
+                # centerness target and normalized by its foreground sum
+                reg = box_ops.giou_loss(bp, gt_box)
+                ctr_w = ctr_t * fg
+                reg_loss = jnp.sum(reg * ctr_w) / jnp.maximum(jnp.sum(ctr_w), 1e-6)
                 ctr_loss = jnp.maximum(ct, 0) - ct * ctr_t + jnp.log1p(jnp.exp(-jnp.abs(ct)))
                 norm = jnp.maximum(jnp.sum(fg), 1.0)
                 return (
                     cls_loss / norm,
-                    jnp.sum(reg * fg) / norm,
+                    reg_loss,
                     jnp.sum(ctr_loss * fg) / norm,
                 )
 

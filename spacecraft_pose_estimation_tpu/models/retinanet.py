@@ -134,11 +134,16 @@ class RetinaNet(nn.Module):
         )
         feats = ResNetBackbone(cfg.backbone, dtype=self.dtype, name="backbone")(x)
         pyr = FPN(cfg.fpn_channels, dtype=self.dtype, name="fpn")(feats)
-        # RetinaNet levels: p3..p6 from FPN + p7 = conv(relu(p6)).
+        # LastLevelP6P7 semantics (d2 build_retinanet_resnet_fpn_backbone):
+        # p6 and p7 are LEARNED stride-2 convs rooted at res5 (not the
+        # Faster-RCNN maxpool p6): p6 = conv(res5), p7 = conv(relu(p6)).
+        p6 = nn.Conv(
+            cfg.fpn_channels, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype, name="p6"
+        )(feats["res5"].astype(self.dtype))
         p7 = nn.Conv(
             cfg.fpn_channels, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype, name="p7"
-        )(nn.relu(pyr["p6"]))
-        pyramid = {"p3": pyr["p3"], "p4": pyr["p4"], "p5": pyr["p5"], "p6": pyr["p6"], "p7": p7}
+        )(nn.relu(p6))
+        pyramid = {"p3": pyr["p3"], "p4": pyr["p4"], "p5": pyr["p5"], "p6": p6, "p7": p7}
 
         levels = sorted(pyramid.keys())
         shapes = {l: (pyramid[l].shape[1], pyramid[l].shape[2]) for l in levels}
@@ -178,11 +183,27 @@ class RetinaNet(nn.Module):
                 gt_d = box_ops.get_deltas(anchor_cat, gb[midx], cfg.bbox_reg_weights)
                 reg = jnp.sum(smooth_l1(deltas, gt_d, cfg.smooth_l1_beta), axis=-1)
                 reg_loss = jnp.sum(reg * fg)
-                norm = jnp.maximum(jnp.sum(fg), 1.0)
-                return cls_loss / norm, reg_loss / norm
+                return cls_loss, reg_loss, jnp.sum(fg)
 
-            cls_l, reg_l = jax.vmap(one)(logits_cat, deltas_cat, gt_boxes, gt_classes, gt_valid)
-            losses = {"loss_cls": jnp.mean(cls_l), "loss_box_reg": jnp.mean(reg_l)}
+            cls_l, reg_l, nfg = jax.vmap(one)(
+                logits_cat, deltas_cat, gt_boxes, gt_classes, gt_valid
+            )
+            # d2 RetinaNet normalizes SUMMED batch losses by an EMA of the
+            # batch foreground count (retinanet.py loss_normalizer,
+            # momentum 0.9, init 100). The EMA state lives in the train
+            # step (train/detection_state.py, ema_loss_normalizer=True):
+            # since num_fg does not depend on params, rescaling there is
+            # gradient-exact. Here we expose the raw sums + num_fg, and
+            # normalize loss_total by the current-batch count as the
+            # stateless fallback.
+            num_fg = jnp.maximum(jnp.sum(nfg).astype(jnp.float32), 1.0)
+            losses = {
+                "loss_cls_sum": jnp.sum(cls_l),
+                "loss_box_reg_sum": jnp.sum(reg_l),
+                "num_fg": num_fg,
+                "loss_cls": jnp.sum(cls_l) / num_fg,
+                "loss_box_reg": jnp.sum(reg_l) / num_fg,
+            }
             losses["loss_total"] = losses["loss_cls"] + losses["loss_box_reg"]
             return losses
 

@@ -149,6 +149,10 @@ def multilevel_roi_align_pallas(
     — not R x L as in the pool-everything XLA formulation."""
     import math
 
+    from .roi_align import _check_window_covers
+
+    _check_window_covers(feats, strides, canonical_size, canonical_level, window)
+
     num_levels = len(feats)
     assert num_levels <= 4
     c = feats[0].shape[-1]

@@ -164,6 +164,33 @@ def roi_align_windowed(
     return jax.vmap(one_box)(boxes)
 
 
+def _check_window_covers(feats, strides, canonical_size, canonical_level, window):
+    """Trace-time guard for the windowed/Pallas pooler paths: boxes whose
+    feature-space extent (+1 px bilinear support each side) exceeds
+    `window` silently lose their outer taps. Middle pyramid levels are
+    bounded by the canonical assignment (sqrt(area)/stride < 2 *
+    canonical_size / 2**canonical_level = 28 for the FPN defaults), but
+    the COARSEST level takes every larger box — e.g. the full-frame
+    fallback — so its worst case is the full feature map. Feature shapes
+    are static under jit, so this check costs nothing at runtime."""
+    import math
+    import warnings
+
+    # canonical assignment sends sqrt(area) < canonical_size * 2**(l+1-CL)
+    # to level l; in feature units that is < 2 * canonical_size / 2**CL.
+    mid_extent = int(math.ceil(2.0 * canonical_size / (2 ** canonical_level))) + 2
+    coarse_extent = max(feats[-1].shape[0], feats[-1].shape[1]) + 2
+    worst = max(mid_extent, coarse_extent)
+    if window < worst:
+        warnings.warn(
+            f"windowed ROI pooler: window={window} cannot cover the worst-case "
+            f"box extent ({worst} cells at the coarsest level, {feats[-1].shape[:2]} "
+            f"feature map) — oversized boxes (e.g. the full-frame fallback) will "
+            f"lose outer bilinear taps. Use window>={worst} or impl='gather'.",
+            stacklevel=3,
+        )
+
+
 def multilevel_roi_align(
     feats: list[Array],
     boxes: Array,
@@ -195,6 +222,7 @@ def multilevel_roi_align(
     target = jnp.clip(target, lvl_min, lvl_min + num_levels - 1).astype(jnp.int32) - lvl_min
 
     if impl == "windowed":
+        _check_window_covers(feats, strides, canonical_size, canonical_level, window)
         pooled_all = jnp.stack(
             [
                 roi_align_windowed(f, boxes, output_size, 1.0 / s, sampling_ratio, window)

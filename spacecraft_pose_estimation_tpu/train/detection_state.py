@@ -15,6 +15,7 @@ class DetTrainState(struct.PyTreeNode):
     step: Any
     params: Any
     opt_state: Any
+    loss_normalizer: Any  # RetinaNet EMA foreground count (d2 init 100)
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Any = struct.field(pytree_node=False)
 
@@ -24,14 +25,24 @@ class DetTrainState(struct.PyTreeNode):
             step=jnp.zeros((), jnp.int32),
             params=variables["params"],
             opt_state=tx.init(variables["params"]),
+            loss_normalizer=jnp.asarray(100.0, jnp.float32),
             tx=tx,
             apply_fn=model.apply,
         )
 
 
-def make_detection_train_step(needs_sampling_rng: bool = True):
+def make_detection_train_step(
+    needs_sampling_rng: bool = True, ema_loss_normalizer: bool = False
+):
     """step(state, batch, key) -> (state, metrics). batch: image +
-    gt_boxes/gt_classes/gt_valid (fixed shapes)."""
+    gt_boxes/gt_classes/gt_valid (fixed shapes).
+
+    ema_loss_normalizer: d2 RetinaNet semantics — normalize the batch
+    loss SUMS by an EMA of the foreground-anchor count (momentum 0.9)
+    instead of the current batch's count. The model's reported num_fg is
+    independent of params, so rescaling loss and grads post-hoc by
+    (batch_norm / ema_norm) is gradient-exact.
+    """
 
     def step(state: DetTrainState, batch, key):
         def loss_fn(params):
@@ -50,12 +61,25 @@ def make_detection_train_step(needs_sampling_rng: bool = True):
             return losses["loss_total"], losses
 
         (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+        new_normalizer = state.loss_normalizer
+        if ema_loss_normalizer and "num_fg" in losses:
+            new_normalizer = 0.9 * state.loss_normalizer + 0.1 * losses["num_fg"]
+            # loss_total was normalized by num_fg; rescale to the EMA
+            scale = losses["num_fg"] / jnp.maximum(new_normalizer, 1e-6)
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            loss = loss * scale
+
         updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {k: v for k, v in losses.items()}
         metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["loss_normalizer"] = new_normalizer
         return (
-            state.replace(step=state.step + 1, params=new_params, opt_state=new_opt),
+            state.replace(
+                step=state.step + 1, params=new_params, opt_state=new_opt,
+                loss_normalizer=new_normalizer,
+            ),
             metrics,
         )
 

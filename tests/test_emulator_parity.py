@@ -18,6 +18,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e/oracle tier (> ~30 s)
+
 import jax
 
 torch = pytest.importorskip("torch")

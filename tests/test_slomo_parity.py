@@ -13,6 +13,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e/oracle tier (> ~30 s)
+
 import jax
 import jax.numpy as jnp
 

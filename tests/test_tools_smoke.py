@@ -12,6 +12,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e/oracle tier (> ~30 s)
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENV = {**os.environ, "SPE_PLATFORM": "cpu", "JAX_PLATFORMS": "cpu"}
 
@@ -232,3 +234,72 @@ class TestWorkflow:
         assert (out / "events.csv").exists()
         frames = list((out / "event-frames").iterdir())
         assert frames
+
+    @pytest.mark.slow
+    def test_staged_evaluate_pipeline_matches_fused(self, scene, coco_jsons, trained, tmp_path):
+        """--staged runs the three stage CLIs as separate processes on
+        the file contract (reference evaluate_pipeline.py:48-91) and must
+        produce the same artifacts as the fused one-graph mode."""
+        det_out = tmp_path / "det"
+        run([
+            "tools/train_detector.py",
+            "--train-json", str(coco_jsons / "synthetic_train.json"),
+            "--image-dir", str(trained["flat"]),
+            "--output", str(det_out),
+            "--tiny", "--input-size", "64", "--batch-size", "2",
+            "--max-iter", "2", "--checkpoint-period", "2",
+        ])
+        scenes = tmp_path / "scenes"
+        (scenes / "s0").mkdir(parents=True)
+        for f in (scene["frames"] / "test").iterdir():
+            (scenes / "s0" / f.name).symlink_to(f)
+        common = [
+            "tools/evaluate_pipeline.py",
+            "--scenes-dir", str(scenes),
+            "--landmarks-file", str(scene["root"] / "landmarks.csv"),
+            "--calibration-file", str(scene["root"] / "calibration.json"),
+            "--detector-checkpoint", str(det_out / "checkpoints"),
+            "--landmark-checkpoint", str(trained["outdir"] / "checkpoints"),
+            "--preset", "events",
+            "--tiny", "--input-size", "64", "--batch-size", "2",
+        ]
+        opts = [
+            "MODEL.NAME", "hrnet_tiny",
+            "MODEL.IMAGE_SIZE", "[64, 64]",
+            "MODEL.HEATMAP_SIZE", "[16, 16]",
+            "TEST.BATCH_SIZE_PER_CHIP", "2",
+            "MODEL.COMPUTE_DTYPE", "float32",
+        ]
+        fused_out = tmp_path / "fused"
+        staged_out = tmp_path / "staged"
+        run(common + ["--output-dir", str(fused_out)] + opts)
+        run(common + ["--staged", "--output-dir", str(staged_out)] + opts)
+
+        for artifact in ("pred.mat", "real_test.json", "opencv_poses.json"):
+            assert (staged_out / "s0" / artifact).exists(), artifact
+
+        # boxes: staged real_test.json must carry the same detections
+        import json as _json
+
+        fused_coco = _json.loads((fused_out / "s0" / "real_test.json").read_text())
+        staged_coco = _json.loads((staged_out / "s0" / "real_test.json").read_text())
+        assert len(fused_coco["annotations"]) == len(staged_coco["annotations"])
+        fb = np.array([a["bbox"] for a in fused_coco["annotations"]])
+        sb = np.array([a["bbox"] for a in staged_coco["annotations"]])
+        np.testing.assert_allclose(sb, fb, atol=1.5)  # same detector, same argmax box
+
+        # keypoints: same crops + same net -> near-identical predictions.
+        # The 2-iter smoke nets emit near-noise heatmaps, so argmax decode
+        # can jitter by a few px at bin boundaries; the tolerance still
+        # catches coordinate-space/contract errors (tens of px).
+        from scipy.io import loadmat
+
+        fp = loadmat(str(fused_out / "s0" / "pred.mat"))["preds"]
+        sp = loadmat(str(staged_out / "s0" / "pred.mat"))["preds"]
+        assert fp.shape == sp.shape
+        np.testing.assert_allclose(sp[:, :, :2], fp[:, :, :2], atol=6.0)
+
+        # poses: both artifacts list every frame with valid shapes
+        fposes = _json.loads((fused_out / "s0" / "opencv_poses.json").read_text())
+        sposes = _json.loads((staged_out / "s0" / "opencv_poses.json").read_text())
+        assert [p["image_name"] for p in fposes] == [p["image_name"] for p in sposes]

@@ -122,7 +122,11 @@ def main():
         process_index=jax.process_index(), process_count=jax.process_count(),
     )
 
-    raw_step = jax.jit(make_detection_train_step(needs_rng))
+    raw_step = jax.jit(
+        make_detection_train_step(
+            needs_rng, ema_loss_normalizer=(args.arch == "retinanet")
+        )
+    )
     base_key = jax.random.key(42)
 
     aug_fn = None
