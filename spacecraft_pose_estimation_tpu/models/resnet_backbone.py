@@ -43,6 +43,64 @@ class FrozenBN(nn.Module):
         return x * mul + add
 
 
+class MergedGroupConv(nn.Module):
+    """Grouped conv with groups block-diagonally MERGED to >=128-wide.
+
+    XLA lowers narrow-group convolutions catastrophically on TPU: the
+    ResNeXt 32x8d groups (8-64 input channels each) measure 3-59
+    TFLOP/s on v5e, while 128-wide groups hit ~165 TFLOP/s — nearly
+    dense efficiency (devbench/exp_detector.py sweep). Packing m
+    original groups into one 128-wide merged group costs m x the FLOPs
+    (the off-diagonal blocks are zeros) but wins 1.4x (res5) to ~7x
+    (res3) in wall time. The parameter keeps the compact grouped layout
+    (k, k, cin/groups, cout) — identical tree to nn.Conv, so zoo-weight
+    import is unchanged — and the merged kernel is materialised inside
+    the graph (autodiff flows through the scatter, so training is
+    gradient-exact).
+    """
+
+    features: int
+    kernel: int
+    stride: int
+    groups: int
+    dilation: int = 1
+    target_group_width: int = 128
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, g = self.kernel, self.groups
+        cin = x.shape[-1]
+        cgi = cin // g
+        cgo = self.features // g
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, cgi, self.features),
+        )
+        m = min(g, max(1, self.target_group_width // cgi))
+        while g % m:
+            m -= 1
+        if m > 1:
+            w5 = w.reshape(k, k, cgi, g, cgo)
+            sel = (
+                (jnp.arange(g) % m)[:, None] == jnp.arange(m)[None, :]
+            ).astype(w.dtype)
+            w = jnp.einsum("abcgd,gp->abpcgd", w5, sel).reshape(
+                k, k, m * cgi, self.features
+            )
+        pad = self.dilation * (k - 1) // 2
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w.astype(self.dtype),
+            (self.stride, self.stride),
+            ((pad, pad), (pad, pad)),
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=g // m,
+        )
+
+
 class ConvFrozenBN(nn.Module):
     features: int
     kernel: int = 3
@@ -55,17 +113,22 @@ class ConvFrozenBN(nn.Module):
     @nn.compact
     def __call__(self, x):
         pad = self.dilation * (self.kernel - 1) // 2
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=pad,
-            feature_group_count=self.groups,
-            kernel_dilation=(self.dilation, self.dilation),
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if self.groups > 1:
+            x = MergedGroupConv(
+                self.features, self.kernel, self.stride, self.groups,
+                dilation=self.dilation, dtype=self.dtype, name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=pad,
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         x = FrozenBN(self.features, dtype=self.dtype, name="norm")(x)
         if self.act:
             x = nn.relu(x)
