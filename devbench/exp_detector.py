@@ -141,10 +141,101 @@ def conv_group_sweep(batch=8, hw=96, cin=512, cout=512):
         )
 
 
+def decompose_probe(batch=8, size=768):
+    """backbone -> +FPN -> +RPN/proposals -> full, marginal per part."""
+    import flax.linen as fnn
+
+    from spacecraft_pose_estimation_tpu.models.rcnn import (
+        FASTER_RCNN_X101_SPACECRAFT,
+        GeneralizedRCNN,
+    )
+    from spacecraft_pose_estimation_tpu.models.fpn import FPN, FPN_STRIDES
+    from spacecraft_pose_estimation_tpu.models.anchors import fpn_anchors
+    from spacecraft_pose_estimation_tpu.models.resnet_backbone import ResNetBackbone
+    from spacecraft_pose_estimation_tpu.models.rpn import RPNHead, find_top_proposals
+
+    cfg = FASTER_RCNN_X101_SPACECRAFT
+    model = GeneralizedRCNN(config=cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, size, size, 3)) * 50 + 100, jnp.float32)
+    variables = jax.jit(partial(model.init, train=False))(
+        {"params": jax.random.key(0)}, x[:1]
+    )
+    params = variables["params"]
+
+    bb = ResNetBackbone(cfg.backbone, dtype=jnp.bfloat16)
+    fpn = FPN(cfg.fpn_channels, dtype=jnp.bfloat16)
+
+    def upto_backbone(p, x, pert):
+        feats = bb.apply({"params": p["backbone"]}, x + pert)
+        return sum(jnp.sum(f.astype(jnp.float32)) for f in feats.values()) * 1e-9
+
+    def upto_fpn(p, x, pert):
+        feats = bb.apply({"params": p["backbone"]}, x + pert)
+        pyr = fpn.apply({"params": p["fpn"]}, feats)
+        return sum(jnp.sum(f.astype(jnp.float32)) for f in pyr.values()) * 1e-9
+
+    num_anchors = len(cfg.anchor_aspect_ratios) * len(cfg.anchor_sizes[0])
+    rpn_head = RPNHead(num_anchors, dtype=jnp.bfloat16)
+
+    def upto_rpn(p, x, pert):
+        feats = bb.apply({"params": p["backbone"]}, x + pert)
+        pyr = fpn.apply({"params": p["fpn"]}, feats)
+        levels = sorted(pyr.keys())
+        shapes = {l: (pyr[l].shape[1], pyr[l].shape[2]) for l in levels}
+        sizes = {l: cfg.anchor_sizes[i] for i, l in enumerate(levels)}
+        anchors = fpn_anchors(shapes, FPN_STRIDES, sizes, cfg.anchor_aspect_ratios)
+        head_out = rpn_head.apply({"params": p["rpn_head"]}, pyr)
+        per_image = {l: (head_out[l][0], head_out[l][1]) for l in levels}
+        pb, ps, pv = jax.vmap(
+            lambda ho: find_top_proposals(ho, anchors, (size, size), cfg.rpn, False)
+        )(per_image)
+        return (jnp.sum(pb.astype(jnp.float32)) + jnp.sum(ps)) * 1e-9
+
+    def full(p, x, pert):
+        dets = model.apply({"params": p}, x + pert, train=False)
+        return jnp.sum(dets["scores"]) * 1e-9
+
+    parts = [("backbone", upto_backbone), ("+fpn", upto_fpn),
+             ("+rpn+proposals", upto_rpn), ("full", full)]
+    prev = 0.0
+    for name, body in parts:
+        v = marginal(scanner(body), params, x)
+        print(f"{name:16s} {v * 1e3:8.1f} ms/batch  (delta {1e3 * (v - prev):+7.1f} ms)",
+              flush=True)
+        prev = v
+
+
+def serving_probe(batch=8, size=768):
+    from spacecraft_pose_estimation_tpu.models.rcnn import (
+        FASTER_RCNN_X101_SERVING,
+        GeneralizedRCNN,
+    )
+
+    model = GeneralizedRCNN(config=FASTER_RCNN_X101_SERVING, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, size, size, 3)) * 50 + 100, jnp.float32)
+    variables = jax.jit(partial(model.init, train=False))(
+        {"params": jax.random.key(0)}, x[:1]
+    )
+
+    def body(v, x, pert):
+        dets = model.apply(v, x + pert, train=False)
+        return jnp.sum(dets["scores"]) * 1e-9
+
+    v = marginal(scanner(body), variables, x)
+    print(f"x101-fpn SERVING infer b{batch} {size}^2: {v * 1e3:8.1f} ms/batch "
+          f"({batch / v:6.1f} im/s)", flush=True)
+
+
 if __name__ == "__main__":
     stages = sys.argv[1:] or ["conv", "backbone"]
     if "sweep" in stages:
         conv_group_sweep()
+    if "decompose" in stages:
+        decompose_probe()
+    if "serving" in stages:
+        serving_probe()
     if "conv" in stages:
         conv_probe()
     if "backbone" in stages:

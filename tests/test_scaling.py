@@ -25,7 +25,11 @@ def make_tiny_landmark_step():
 
     model = HRNet(config=HRNET_TINY.with_joints(3))
     variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), train=False)
-    state = TrainState.create(model, variables, build_optimizer("adam", 1e-3))
+    # SGD keeps the equivalence theorem tight: the param delta is
+    # lr * grad, so a 1e-6 cross-sharding grad difference stays 1e-6.
+    # (Adam divides by sqrt(v): on near-zero first-step grads it
+    # amplifies reduction-order noise to O(lr) sign flips.)
+    state = TrainState.create(model, variables, build_optimizer("sgd", 1e-2))
     return model, state, make_train_step()
 
 
