@@ -3,6 +3,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -47,6 +48,7 @@ def da_batch(num_joints=3, size=32, ns=2, nt=2):
 
 
 class TestDATrainStep:
+    @pytest.mark.slow
     def test_both_networks_update(self):
         model, disc, state = build_da()
         step = jax.jit(make_da_train_step(beta=2e-4, d_loss_mode=2))
@@ -61,6 +63,7 @@ class TestDATrainStep:
         d1 = jax.tree_util.tree_leaves(new_state.disc_params)[0]
         assert not np.allclose(np.asarray(d0), np.asarray(d1))
 
+    @pytest.mark.slow
     def test_d_loss_decreases(self):
         model, disc, state = build_da()
         step = jax.jit(make_da_train_step(beta=0.0, d_loss_mode=1))

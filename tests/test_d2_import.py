@@ -73,6 +73,7 @@ def build_synthetic_sd(params):
 
 
 class TestD2Import:
+    @pytest.mark.slow
     def test_roundtrip_identity(self):
         model = GeneralizedRCNN(config=RCNN_TINY)
         variables = model.init(

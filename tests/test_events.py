@@ -207,6 +207,7 @@ class TestSloMo:
         out = backwarp(img, flow)
         assert float(out[0, 3, 3, 0]) == pytest.approx(1.0)
 
+    @pytest.mark.slow
     def test_interpolation_shapes(self):
         model = SuperSloMo()
         f0 = jnp.zeros((1, 32, 32, 1))

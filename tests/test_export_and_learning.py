@@ -19,6 +19,7 @@ from spacecraft_pose_estimation_tpu.train.optim import build_optimizer
 
 
 class TestExport:
+    @pytest.mark.slow
     def test_stablehlo_roundtrip(self):
         model = HRNet(config=dataclasses.replace(HRNET_TINY, num_joints=8))
         variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False)
@@ -59,6 +60,7 @@ class TestExport:
 
 
 class TestDetectorLearning:
+    @pytest.mark.slow
     def test_loss_decreases_on_fixed_batch(self):
         model = GeneralizedRCNN(config=RCNN_TINY)
         variables = model.init(

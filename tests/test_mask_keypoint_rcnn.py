@@ -48,6 +48,7 @@ class TestMaskKeypointRCNN:
         assert dets["keypoint_logits"].shape[-1] == 4
         assert np.isfinite(np.asarray(dets["mask_logits"])).all()
 
+    @pytest.mark.slow
     def test_training_losses_include_mask_and_keypoint(self, mk_model):
         model, variables = mk_model
         gt_boxes, gt_classes, gt_valid, gt_masks, gt_kps = gt_batch()

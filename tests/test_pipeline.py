@@ -7,6 +7,7 @@ framework's replacement for the reference's DDP path.
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -120,11 +121,13 @@ class TestFullPipeline:
 
 
 class TestMultichipDryrun:
+    @pytest.mark.slow
     def test_dryrun_8_devices(self):
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
 
+    @pytest.mark.slow
     def test_entry_compiles_on_cpu_tiny(self):
         # entry() itself uses the flagship 512x512 model (too slow for CPU
         # CI); here we only check it constructs and traces abstractly.

@@ -3,6 +3,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -43,6 +44,7 @@ class TestPreciseBN:
 
 
 class TestDryrunWithDetector:
+    @pytest.mark.slow
     def test_dryrun_8_devices_covers_both_models(self, capsys):
         import __graft_entry__ as ge
 

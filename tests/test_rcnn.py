@@ -87,6 +87,7 @@ class TestRCNN:
         )
         assert np.isfinite(float(losses["loss_total"]))
 
+    @pytest.mark.slow
     def test_grads_flow(self, model_and_vars):
         model, variables = model_and_vars
         images = jnp.asarray(

@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--height", type=int, default=260)
     ap.add_argument("--exposure", type=float, default=0.01)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--input-size", type=int, default=768)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("opts", nargs="*",
+                    help="KEY VALUE overrides forwarded to the evaluator")
     args = ap.parse_args()
 
     frames_dir = os.path.join(args.output_dir, "event-frames")
@@ -51,9 +55,12 @@ def main():
         "--detector-checkpoint", args.detector_checkpoint,
         "--landmark-checkpoint", args.landmark_checkpoint,
         "--output-dir", os.path.join(args.output_dir, "results"),
+        "--input-size", str(args.input_size),
+        "--batch-size", str(args.batch_size),
     ]
     if args.tiny:
         cmd.append("--tiny")
+    cmd += args.opts
     run(cmd)
 
 

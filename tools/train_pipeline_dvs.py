@@ -33,8 +33,12 @@ def main():
     ap.add_argument("--image-width", type=int, default=1280)
     ap.add_argument("--image-height", type=int, default=720)
     ap.add_argument("--detector-iters", type=int, default=6000)
+    ap.add_argument("--detector-input-size", type=int, default=768)
+    ap.add_argument("--detector-batch-size", type=int, default=8)
     ap.add_argument("--landmark-epochs", type=int, default=40)
     ap.add_argument("--tiny", action="store_true", help="tiny models (CI)")
+    ap.add_argument("opts", nargs="*",
+                    help="KEY VALUE overrides forwarded to the landmark trainer")
     args = ap.parse_args()
 
     os.makedirs(args.work_dir, exist_ok=True)
@@ -82,6 +86,8 @@ def main():
         "--image-dir", event_dirs[0] + "_split/train",
         "--output", os.path.join(args.work_dir, "detector"),
         "--max-iter", str(args.detector_iters),
+        "--input-size", str(args.detector_input_size),
+        "--batch-size", str(args.detector_batch_size),
     ]
     if args.tiny:
         det_cmd.append("--tiny")
@@ -96,6 +102,7 @@ def main():
         "--image-dir", event_dirs[0] + "_split/train",
         "--output", os.path.join(args.work_dir, "landmarks"),
         "TRAIN.END_EPOCH", str(args.landmark_epochs),
+        *args.opts,
     ]
     if args.tiny:
         lm_cmd += ["MODEL.NAME", "hrnet_tiny", "MODEL.COMPUTE_DTYPE", "float32"]
