@@ -138,8 +138,70 @@ def model_probe(batches=(128,), mode="bf16"):
         )
 
 
+def int8_conv_probe(batch=128):
+    """int8 conv rates at the HRNet shapes: is XLA hitting the doubled
+    ceilings (N/128 * 788 TOPS, ~819 GB/s at half traffic)?"""
+    rng = np.random.default_rng(0)
+    shapes = [(128, 32), (64, 64), (128, 64), (16, 256)]
+    for hw, c in shapes:
+        x = jnp.asarray(rng.integers(-127, 127, (batch, hw, hw, c)), jnp.int8)
+        k = jnp.asarray(rng.integers(-127, 127, (3, 3, c, c)), jnp.int8)
+        sc = jnp.float32(0.01)
+
+        def body(x, k, pert):
+            y = jax.lax.conv_general_dilated(
+                x, k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            yq = jnp.clip(jnp.round(y.astype(jnp.float32) * (sc + pert * 1e-20)), -127, 127).astype(jnp.int8)
+            return jnp.sum(yq.astype(jnp.float32)) * 1e-9
+
+        v = marginal(scanner(body), x, k)
+        ops = 2 * batch * hw * hw * 9 * c * c
+        print(
+            f"int8 conv3x3 {c:3d}ch {hw:3d}^2 b{batch}: {v * 1e3:8.3f} ms  "
+            f"{ops / v / 1e12:6.1f} TOP/s",
+            flush=True,
+        )
+
+
+def int8_model_parts(batch=128):
+    """Stem + layer1 vs stages under int8: find the non-branch time."""
+    from spacecraft_pose_estimation_tpu.models.hrnet import HRNet, POSE_HRNET_W32
+    from spacecraft_pose_estimation_tpu.models.hrnet_int8 import (
+        HRNetInt8,
+        quantize_hrnet,
+    )
+    from spacecraft_pose_estimation_tpu.pipeline import normalize_crops
+
+    rng = np.random.default_rng(0)
+    model = HRNet(config=POSE_HRNET_W32.with_joints(11), dtype=jnp.bfloat16)
+    variables = jax.jit(
+        lambda k: model.init(k, jnp.zeros((1, 512, 512, 3)), train=False)
+    )(jax.random.key(0))
+    calib = normalize_crops(
+        jnp.asarray(rng.integers(0, 255, (4, 512, 512, 3)), jnp.float32)
+    )
+    q = quantize_hrnet(model, variables, calib)
+    m8 = HRNetInt8(model.config)
+    x = jnp.asarray(rng.normal(size=(batch, 512, 512, 3)), jnp.float32)
+
+    def body(v, x, pert):
+        out = m8.apply(v, x + pert, train=False)
+        return jnp.sum(out.astype(jnp.float32)) * 1e-9
+
+    v = marginal(scanner(body), q, x)
+    print(f"int8 full model b{batch}: {v * 1e3:8.2f} ms ({batch / v:7.1f} fps)",
+          flush=True)
+
+
 if __name__ == "__main__":
     stages = sys.argv[1:] or ["branches", "chain"]
+    if "int8conv" in stages:
+        int8_conv_probe()
+    if "int8model" in stages:
+        int8_model_parts()
     if "branches" in stages:
         branch_probe()
     if "chain" in stages:

@@ -60,7 +60,14 @@ class TestE2V:
 
 @pytest.fixture(scope="module")
 def dvs_scene(tmp_path_factory):
-    """Tiny moving-dot video + blender-style GT for the DVS drivers."""
+    """Tiny moving-dot video + blender-style GT for the DVS drivers.
+
+    GT files are keyed by the EVENT-frame names v2e emits (the reference
+    contract: events_to_coco_dicts.py:88-96 looks up
+    camera_intrinsics_<frame_stem>.txt / pose_<frame_stem>.json), so we
+    run v2e once up front to discover the emitted frame times and write
+    GT for exactly those stems.
+    """
     import cv2
     from scipy.spatial.transform import Rotation
 
@@ -69,7 +76,6 @@ def dvs_scene(tmp_path_factory):
     gt = root / "gt"
     frames.mkdir()
     gt.mkdir()
-    rng = np.random.default_rng(1)
     lm = np.array(
         [[x, y, z] for x in (-0.5, 0.5) for y in (-0.5, 0.5) for z in (-0.5, 0.5)]
     )
@@ -81,17 +87,34 @@ def dvs_scene(tmp_path_factory):
         json.dumps({"intrinsics": {"camera_matrix": K.tolist(),
                                    "distortion_coefficients": [0, 0, 0, 0, 0]}})
     )
+
+    def pose_at(phase):
+        R = Rotation.from_euler("xyz", [0.05 * phase, 0.03 * phase, 0]).as_matrix()
+        return R, np.array([0.0, 0.0, 4.0])
+
     for i in range(10):
-        R = Rotation.from_euler("xyz", [0.05 * i, 0.03 * i, 0]).as_matrix()
-        t = np.array([0.0, 0.0, 4.0])
+        R, t = pose_at(i)
         uv = (lm @ R.T + t) @ K.T
         uv = uv[:, :2] / uv[:, 2:3]
         img = np.zeros((64, 64, 3), np.uint8)
         for x, y in uv:
             cv2.circle(img, (int(x), int(y)), 2, (255, 255, 255), -1)
         cv2.imwrite(str(frames / f"{i:04d}.png"), img)
-        np.savetxt(str(gt / f"camera_intrinsics_{i}.txt"), K)
-        (gt / f"pose_{i}.json").write_text(
+
+    # discover the event-frame stems v2e will emit for these settings
+    probe = root / "v2e_probe"
+    run([
+        "tools/v2e.py", "-i", str(frames), "-o", str(probe),
+        "--dvs_params", "clean", "--dvs_exposure", "duration", "0.02",
+    ])
+    stems = sorted(
+        int(p.stem) for p in (probe / "event-frames").glob("*.bmp")
+    )
+    assert stems, "v2e probe emitted no event frames"
+    for s in stems:
+        R, t = pose_at(s / max(stems[-1], 1) * 9)  # smooth trajectory
+        np.savetxt(str(gt / f"camera_intrinsics_{s}.txt"), K)
+        (gt / f"pose_{s}.json").write_text(
             json.dumps({"rotation": R.tolist(), "translation": t.tolist()})
         )
     return root
