@@ -228,3 +228,105 @@ class TestCMSForwardParity:
 
     def test_hrnet_cms_384(self, reference_cms_modules):
         self._run(reference_cms_modules[1], "cms_half", 2)
+
+
+class TestGradientParity:
+    """One training step's GRADIENTS must match the reference stack:
+    same weights, same batch, JointsMSELoss on both sides (lib/core/
+    loss.py:15-39), torch autograd vs jax.grad. This validates training
+    dynamics, not just the forward pass."""
+
+    def test_hrnet_gradients_match_torch(self, reference_hrnet):
+        from spacecraft_pose_estimation_tpu.models.hrnet import (
+            HRNet,
+            HRNetConfig,
+            StageSpec,
+        )
+        from spacecraft_pose_estimation_tpu.train.loss import joints_mse_loss
+        from spacecraft_pose_estimation_tpu.utils.torch_import import (
+            hrnet_torch_to_flax,
+            merge_pretrained,
+        )
+
+        num_joints = 4
+        torch.manual_seed(3)
+        ref = reference_hrnet.get_pose_net(tiny_ref_cfg(num_joints), is_train=False)
+        ref.train()  # torch BN in batch-stats mode, like our train=True
+
+        ours_cfg = HRNetConfig(
+            num_joints=num_joints,
+            stem_channels=64,
+            stage1_blocks=4,
+            stage2=StageSpec(1, 2, (1, 1), (4, 8)),
+            stage3=StageSpec(1, 3, (1, 1, 1), (4, 8, 16)),
+            stage4=StageSpec(1, 4, (1, 1, 1, 1), (4, 8, 16, 32)),
+            head="classic",
+        )
+        model = HRNet(config=ours_cfg)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False)
+        params, stats = hrnet_torch_to_flax(ref.state_dict(), pretrained_layers=("*",))
+        merged = merge_pretrained(variables, params, stats)
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+        target = rng.uniform(0, 1, (2, num_joints, 16, 16)).astype(np.float32)
+        tw = np.ones((2, num_joints), np.float32)
+
+        # ---- torch side
+        xt = torch.tensor(x, requires_grad=False)
+        out_t = ref(xt)
+        # JointsMSELoss semantics: 0.5 * MSE per joint, mean over joints
+        loss_t = 0.0
+        for j in range(num_joints):
+            loss_t = loss_t + 0.5 * torch.nn.functional.mse_loss(
+                out_t[:, j], torch.tensor(target[:, j])
+            )
+        loss_t = loss_t / num_joints
+        loss_t.backward()
+        torch_grads = {
+            k: p.grad.detach().numpy() for k, p in ref.named_parameters()
+            if p.grad is not None
+        }
+
+        # ---- jax side
+        def loss_fn(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": merged["batch_stats"]},
+                jnp.asarray(x.transpose(0, 2, 3, 1)),
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return joints_mse_loss(
+                out, jnp.asarray(target.transpose(0, 2, 3, 1)), jnp.asarray(tw)
+            )
+
+        jax_loss = float(loss_fn(merged["params"]))
+        np.testing.assert_allclose(jax_loss, float(loss_t.detach()), rtol=1e-4)
+
+        grads = jax.grad(loss_fn)(merged["params"])
+
+        # spot-check representative leaves across the depth of the net:
+        # stem conv, a stage-2 branch conv, a fuse conv, the final head
+        checks = [
+            ("conv1.weight", grads["stem1"]["conv"]["kernel"], (3, 2, 0, 1)),
+            ("final_layer.weight", grads["final_layer"]["kernel"], (3, 2, 0, 1)),
+            ("final_layer.bias", grads["final_layer"]["bias"], None),
+            (
+                "stage2.0.branches.0.0.conv1.weight",
+                grads["stage2_m0"]["branch0"]["block0"]["conv1"]["conv"]["kernel"],
+                (3, 2, 0, 1),
+            ),
+            (
+                "stage3.0.fuse_layers.0.1.0.weight",
+                grads["stage3_m0"]["fuse"]["up0_1"]["conv"]["kernel"],
+                (3, 2, 0, 1),
+            ),
+        ]
+        for tkey, jleaf, perm in checks:
+            tg = torch_grads[tkey]
+            jg = np.asarray(jleaf)
+            if perm is not None:
+                jg = jg.transpose(*perm)
+            assert jg.shape == tg.shape, (tkey, jg.shape, tg.shape)
+            scale = np.abs(tg).max() + 1e-12
+            np.testing.assert_allclose(jg / scale, tg / scale, atol=2e-4, err_msg=tkey)

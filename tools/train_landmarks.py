@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--train-json", required=True)
     ap.add_argument("--val-json", default=None)
     ap.add_argument("--image-dir", required=True)
+    ap.add_argument("--val-image-dir", default=None,
+                    help="validation frames dir (defaults to --image-dir)")
     ap.add_argument("--output", default="output")
     ap.add_argument("opts", nargs="*", help="KEY VALUE override pairs")
     args = ap.parse_args()
@@ -117,7 +119,10 @@ def main():
     )
     base_key = jax.random.key(cfg.seed + 1)
 
-    val_examples = LandmarkExamples(args.val_json, args.image_dir) if args.val_json else None
+    val_examples = (
+        LandmarkExamples(args.val_json, args.val_image_dir or args.image_dir)
+        if args.val_json else None
+    )
 
     for epoch in range(begin_epoch, cfg.train.end_epoch):
         state = landmark_loop.train_epoch(

@@ -100,6 +100,7 @@ def main():
         "--train-json", os.path.join(dict_dirs[0], "synthetic_train.json"),
         "--val-json", os.path.join(dict_dirs[0], "synthetic_validation.json"),
         "--image-dir", event_dirs[0] + "_split/train",
+        "--val-image-dir", event_dirs[0] + "_split/validation",
         "--output", os.path.join(args.work_dir, "landmarks"),
         "TRAIN.END_EPOCH", str(args.landmark_epochs),
         *args.opts,
