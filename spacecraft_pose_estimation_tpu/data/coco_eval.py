@@ -86,13 +86,23 @@ def box_iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
-def _match_image(det_boxes, det_scores, gt_boxes, iou_thr, area_range, max_dets):
-    """Returns (det_matched (D,), det_ignored (D,), num_gt_considered)."""
+def _match_image(
+    det_boxes, det_scores, gt_boxes, iou_thr, area_range, max_dets,
+    iou_fn=None, area_fn=None,
+):
+    """Returns (det_matched (D,), det_ignored (D,), num_gt_considered).
+
+    iou_fn/area_fn generalize the geometry (rotated boxes pass 5-column
+    arrays with polygon IoU); defaults are axis-aligned xyxy."""
+    if iou_fn is None:
+        iou_fn = box_iou_xyxy
+    if area_fn is None:
+        area_fn = lambda b: np.prod(np.clip(b[:, 2:4] - b[:, 0:2], 0, None), axis=1)
     order = np.argsort(-det_scores, kind="stable")[:max_dets]
     det_boxes = det_boxes[order]
-    gt_area = np.prod(np.clip(gt_boxes[:, 2:] - gt_boxes[:, :2], 0, None), axis=1)
+    gt_area = area_fn(gt_boxes)
     gt_ignore = (gt_area < area_range[0]) | (gt_area >= area_range[1])
-    iou = box_iou_xyxy(det_boxes, gt_boxes)
+    iou = iou_fn(det_boxes, gt_boxes)
     gt_taken = np.zeros(len(gt_boxes), bool)
     matched = np.zeros(len(det_boxes), bool)
     ignored = np.zeros(len(det_boxes), bool)
@@ -119,7 +129,7 @@ def _match_image(det_boxes, det_scores, gt_boxes, iou_thr, area_range, max_dets)
                 matched[d] = True
         else:
             # unmatched detection outside the area range is ignored
-            d_area = np.prod(np.clip(det_boxes[d, 2:] - det_boxes[d, :2], 0, None))
+            d_area = float(area_fn(det_boxes[d : d + 1])[0])
             if d_area < area_range[0] or d_area >= area_range[1]:
                 ignored[d] = True
     num_gt = int((~gt_ignore).sum())
@@ -230,6 +240,65 @@ def evaluate_detections(
                 ap, ar = _ap_native(lib, all_matched, all_ignored, all_scores, total_gt)
             else:
                 ap, ar = _ap_from_matches(all_matched, all_ignored, all_scores, total_gt)
+            aps.append(ap)
+            ars.append(ar)
+            if area_name == "all":
+                ap_per_iou[round(float(t), 2)] = ap
+        key = {"all": "AP", "small": "APs", "medium": "APm", "large": "APl"}[area_name]
+        results[key] = float(np.nanmean(aps)) * 100 if not np.all(np.isnan(aps)) else float("nan")
+        if area_name == "all":
+            results["AR"] = float(np.nanmean(ars)) * 100 if not np.all(np.isnan(ars)) else float("nan")
+    results["AP50"] = ap_per_iou.get(0.5, np.nan) * 100
+    results["AP75"] = ap_per_iou.get(0.75, np.nan) * 100
+    return results
+
+
+def evaluate_rotated_detections(
+    detections: list[dict],
+    ground_truths: list[dict],
+    max_dets: int = 100,
+) -> dict[str, float]:
+    """Rotated-box AP (detectron2 evaluation/rotated_coco_evaluation.py
+    semantics): boxes are (cx, cy, w, h, angle_deg); matching uses exact
+    polygon-clipping IoU (ops/rotated_boxes.pairwise_iou_rotated — the
+    XLA replacement for the box_iou_rotated csrc kernel) and areas are
+    w*h. Same 101-point protocol/area-ranges as the axis-aligned path.
+    """
+    import jax
+
+    from ..ops.rotated_boxes import pairwise_iou_rotated
+
+    iou_jit = jax.jit(pairwise_iou_rotated)
+
+    def iou_fn(a, b):
+        if len(a) == 0 or len(b) == 0:
+            return np.zeros((len(a), len(b)))
+        return np.asarray(iou_jit(np.asarray(a, np.float32), np.asarray(b, np.float32)))
+
+    def area_fn(b):
+        b = np.asarray(b).reshape(-1, 5)
+        return np.abs(b[:, 2] * b[:, 3])
+
+    results = {}
+    ap_per_iou = {}
+    for area_name, area_range in AREA_RANGES.items():
+        aps, ars = [], []
+        for t in IOU_THRS:
+            all_matched, all_ignored, all_scores = [], [], []
+            total_gt = 0
+            for det, gt in zip(detections, ground_truths):
+                m, ig, sc, ng = _match_image(
+                    np.asarray(det["boxes"], np.float64).reshape(-1, 5),
+                    np.asarray(det["scores"], np.float64),
+                    np.asarray(gt["boxes"], np.float64).reshape(-1, 5),
+                    t, area_range, max_dets,
+                    iou_fn=iou_fn, area_fn=area_fn,
+                )
+                all_matched.append(m)
+                all_ignored.append(ig)
+                all_scores.append(sc)
+                total_gt += ng
+            ap, ar = _ap_from_matches(all_matched, all_ignored, all_scores, total_gt)
             aps.append(ap)
             ars.append(ar)
             if area_name == "all":

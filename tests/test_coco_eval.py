@@ -135,3 +135,82 @@ class TestHelpers:
         }
         lst = padded_detections_to_list(dets)
         assert len(lst[0]["scores"]) == 2 and len(lst[1]["scores"]) == 1
+
+
+class TestRotatedEvaluator:
+    """Rotated-box AP (rotated_coco_evaluation.py semantics): perfect
+    predictions -> AP 100; axis-aligned rotated boxes must reproduce the
+    axis-aligned evaluator exactly; rotation changes the matching."""
+
+    def _gt(self):
+        rng = np.random.default_rng(0)
+        gts = []
+        for _ in range(4):
+            n = rng.integers(1, 4)
+            cx = rng.uniform(50, 200, n)
+            cy = rng.uniform(50, 200, n)
+            w = rng.uniform(20, 60, n)
+            h = rng.uniform(20, 60, n)
+            a = rng.uniform(-45, 45, n)
+            gts.append({"boxes": np.stack([cx, cy, w, h, a], axis=1)})
+        return gts
+
+    def test_perfect_predictions(self):
+        from spacecraft_pose_estimation_tpu.data.coco_eval import (
+            evaluate_rotated_detections,
+        )
+
+        gts = self._gt()
+        dets = [
+            {"boxes": g["boxes"].copy(),
+             "scores": np.linspace(0.9, 0.5, len(g["boxes"]))}
+            for g in gts
+        ]
+        res = evaluate_rotated_detections(dets, gts)
+        assert res["AP"] == pytest.approx(100.0, abs=1e-6)
+        assert res["AP50"] == pytest.approx(100.0, abs=1e-6)
+
+    def test_axis_aligned_matches_plain_evaluator(self):
+        from spacecraft_pose_estimation_tpu.data.coco_eval import (
+            evaluate_detections,
+            evaluate_rotated_detections,
+        )
+
+        rng = np.random.default_rng(3)
+        gts_r, gts_x, dets_r, dets_x = [], [], [], []
+        for _ in range(3):
+            n = 3
+            cx = rng.uniform(60, 180, n)
+            cy = rng.uniform(60, 180, n)
+            w = rng.uniform(20, 50, n)
+            h = rng.uniform(20, 50, n)
+            gts_r.append({"boxes": np.stack([cx, cy, w, h, np.zeros(n)], axis=1)})
+            gts_x.append({"boxes": np.stack(
+                [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=1)})
+            # jittered predictions
+            jx = cx + rng.normal(0, 4, n)
+            jy = cy + rng.normal(0, 4, n)
+            s = rng.uniform(0.3, 0.95, n)
+            dets_r.append({"boxes": np.stack([jx, jy, w, h, np.zeros(n)], axis=1),
+                           "scores": s})
+            dets_x.append({"boxes": np.stack(
+                [jx - w / 2, jy - h / 2, jx + w / 2, jy + h / 2], axis=1),
+                "scores": s})
+        r_rot = evaluate_rotated_detections(dets_r, gts_r)
+        r_ax = evaluate_detections(dets_x, gts_x, backend="numpy")
+        assert r_rot["AP"] == pytest.approx(r_ax["AP"], abs=0.2)
+        assert r_rot["AP50"] == pytest.approx(r_ax["AP50"], abs=0.2)
+
+    def test_rotation_matters(self):
+        from spacecraft_pose_estimation_tpu.data.coco_eval import (
+            evaluate_rotated_detections,
+        )
+
+        gt = [{"boxes": np.array([[100.0, 100.0, 60.0, 14.0, 0.0]])}]
+        aligned = [{"boxes": np.array([[100.0, 100.0, 60.0, 14.0, 0.0]]),
+                    "scores": np.array([0.9])}]
+        crossed = [{"boxes": np.array([[100.0, 100.0, 60.0, 14.0, 90.0]]),
+                    "scores": np.array([0.9])}]
+        assert evaluate_rotated_detections(aligned, gt)["AP"] > 99.0
+        # a thin box rotated 90 deg overlaps its GT far below 0.5 IoU
+        assert evaluate_rotated_detections(crossed, gt)["AP50"] == 0.0
