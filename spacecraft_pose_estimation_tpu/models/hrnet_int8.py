@@ -52,6 +52,9 @@ class _QuantizeOps:
     """Walk in 'collect' mode: folds BN, quantizes weights, precomputes
     requant multipliers from the calibrated activation-scale table."""
 
+    def branch_chain(self, prefix, branch, nblocks, h):
+        return None  # collect mode visits every per-op site
+
     def __init__(self, params, stats, scales):
         self.params = params
         self.stats = stats
@@ -132,10 +135,30 @@ class _QuantizeOps:
 class _Int8Ops:
     """Walk in 'execute' mode over the quantized tree."""
 
-    def __init__(self, q, x, in_scale):
+    def __init__(self, q, x, in_scale, fused_blocks: bool = False):
         self.q = q
         self.x = x
         self.in_scale = in_scale
+        self.fused_blocks = fused_blocks
+
+    def branch_chain(self, prefix, branch, nblocks, h):
+        """Whole-branch BasicBlock chain as ONE Pallas kernel
+        (ops/pallas_blocks.py): activation tile resident in VMEM across
+        2*nblocks convs + nblocks residual adds — the per-op XLA walk is
+        HBM-roofline-bound (see module docstring)."""
+        if not self.fused_blocks:
+            return None
+        from ..ops.pallas_blocks import (
+            chain_params_from_q,
+            fused_basic_block_chain,
+        )
+
+        packed = chain_params_from_q(self.q, prefix, branch, nblocks)
+        if packed is None:
+            return None
+        w, m, b, cf = packed
+        out = fused_basic_block_chain(h.value, w, m, b, cf, nblocks)
+        return _Handle(out, None, f"{prefix}/branch{branch}/fused")
 
     def has(self, name):
         return name in self.q["convs"]
@@ -241,6 +264,10 @@ def _forward(ops, cfg: HRNetConfig, x=None):
             ys = []
             for bi in range(len(xs)):
                 hcur = xs[bi]
+                fused = ops.branch_chain(prefix, bi, spec.num_blocks[bi], hcur)
+                if fused is not None:
+                    ys.append(fused)
+                    continue
                 for k in range(spec.num_blocks[bi]):
                     bn = f"{prefix}/branch{bi}/block{k}"
                     y = ops.convbn(f"{bn}/conv1", hcur, 1, True)
@@ -331,10 +358,18 @@ def quantize_hrnet(model: HRNet, variables, calib_x) -> dict:
     return ops.q
 
 
-def hrnet_int8_apply(cfg: HRNetConfig, q: dict, x) -> jnp.ndarray:
+def hrnet_int8_apply(
+    cfg: HRNetConfig, q: dict, x, fused_blocks: bool | None = None
+) -> jnp.ndarray:
     """int8 forward. ``x``: (B, H, W, 3) normalized f32 (same contract as
-    the bf16 model). Returns f32 heatmaps (B, H/4, W/4, J)."""
-    ops = _Int8Ops(q, x, q["in_scale"])
+    the bf16 model). Returns f32 heatmaps (B, H/4, W/4, J).
+
+    fused_blocks: run each module-branch's BasicBlock chain as one
+    Pallas kernel; default = on when the first device is a TPU (the
+    interpreter fallback is correct but slow on CPU)."""
+    if fused_blocks is None:
+        fused_blocks = jax.devices()[0].platform == "tpu"
+    ops = _Int8Ops(q, x, q["in_scale"], fused_blocks=fused_blocks)
     return _forward(ops, cfg, x)
 
 
@@ -343,9 +378,10 @@ class HRNetInt8:
     ``apply(qtree, x, train=False)`` — so ``make_pose_pipeline`` and the
     landmark stage work unchanged with the quantized tree as 'variables'."""
 
-    def __init__(self, config: HRNetConfig):
+    def __init__(self, config: HRNetConfig, fused_blocks: bool | None = None):
         self.config = config
+        self.fused_blocks = fused_blocks
 
     def apply(self, q, x, train: bool = False):
         del train  # inference-only
-        return hrnet_int8_apply(self.config, q, x)
+        return hrnet_int8_apply(self.config, q, x, fused_blocks=self.fused_blocks)

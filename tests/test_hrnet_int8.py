@@ -145,3 +145,15 @@ def test_int8_peak_fidelity_on_trained_model():
     d = np.abs(peaks(hm_f32) - peaks(hm_i8))
     assert d.max() <= 1, d.max()
     assert np.corrcoef(hm_f32.ravel(), hm_i8.ravel())[0, 1] > 0.99
+
+
+def test_fused_blocks_match_per_op_walk(tiny_setup):
+    """The Pallas fused branch-chain path (interpret mode on CPU) must
+    reproduce the per-op int8 walk on the full tiny model."""
+    model, variables, q, rng = tiny_setup
+    x = jnp.asarray(rng.normal(0, 1.0, (2, 64, 64, 3)), jnp.float32)
+    ref = hrnet_int8_apply(model.config, q, x, fused_blocks=False)
+    out = hrnet_int8_apply(model.config, q, x, fused_blocks=True)
+    assert out.shape == ref.shape
+    # identical int8 dataflow; only f32 rounding ties may differ
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=1e-3)
