@@ -55,6 +55,9 @@ class _QuantizeOps:
     def branch_chain(self, prefix, branch, nblocks, h):
         return None  # collect mode visits every per-op site
 
+    def layer1_chain(self, nblocks, h):
+        return None
+
     def __init__(self, params, stats, scales):
         self.params = params
         self.stats = stats
@@ -160,6 +163,31 @@ class _Int8Ops:
         out = fused_basic_block_chain(h.value, w, m, b, cf, nblocks)
         return _Handle(out, None, f"{prefix}/branch{branch}/fused")
 
+    def layer1_chain(self, nblocks, h):
+        """layer1's Bottleneck x4 as one VMEM-resident Pallas kernel —
+        the largest single IO item in the per-op roofline (~16 ms at
+        b128; see ops/pallas_blocks.fused_bottleneck_chain)."""
+        if not self.fused_blocks:
+            return None
+        from ..ops.pallas_blocks import (
+            bottleneck_params_from_q,
+            fused_bottleneck_chain,
+        )
+
+        p = bottleneck_params_from_q(self.q, nblocks)
+        if p is None:
+            return None
+        out = fused_bottleneck_chain(
+            h.value,
+            p["w1"], p["m1"], p["b1"],
+            p["w2"], p["m2"], p["b2"],
+            p["w3"], p["m3"], p["b3"],
+            p["wd"], p["md"], p["bd"],
+            p["coeffs"],
+            nblocks,
+        )
+        return _Handle(out, None, "layer1/fused")
+
     def has(self, name):
         return name in self.q["convs"]
 
@@ -228,17 +256,21 @@ def _forward(ops, cfg: HRNetConfig, x=None):
     h = ops.input_(x)
     h = ops.stem_conv_bf16("stem1", h)
     h = ops.convbn("stem2", h, 2, True)
-    for i in range(cfg.stage1_blocks):
-        hin = h
-        y = ops.convbn(f"layer1/block{i}/conv1", hin, 1, True)
-        y = ops.convbn(f"layer1/block{i}/conv2", y, 1, True)
-        y = ops.convbn(f"layer1/block{i}/conv3", y, 1, False)
-        r = (
-            ops.convbn(f"layer1/block{i}/down", hin, 1, False)
-            if ops.has(f"layer1/block{i}/down")
-            else hin
-        )
-        h = ops.add(f"layer1/block{i}", [y, r], True)
+    fused_l1 = ops.layer1_chain(cfg.stage1_blocks, h)
+    if fused_l1 is not None:
+        h = fused_l1
+    else:
+        for i in range(cfg.stage1_blocks):
+            hin = h
+            y = ops.convbn(f"layer1/block{i}/conv1", hin, 1, True)
+            y = ops.convbn(f"layer1/block{i}/conv2", y, 1, True)
+            y = ops.convbn(f"layer1/block{i}/conv3", y, 1, False)
+            r = (
+                ops.convbn(f"layer1/block{i}/down", hin, 1, False)
+                if ops.has(f"layer1/block{i}/down")
+                else hin
+            )
+            h = ops.add(f"layer1/block{i}", [y, r], True)
     xs = [h]
     for si, spec in enumerate((cfg.stage2, cfg.stage3, cfg.stage4)):
         exp = block_expansion(spec.block)

@@ -123,6 +123,136 @@ def fused_basic_block_chain(
     )(x, weights, mult, bias, coeffs)
 
 
+def _dot_i8(a, w):
+    return jax.lax.dot_general(
+        a, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+
+
+def _bottleneck_chain_kernel(
+    x_ref,
+    w1_ref, m1_ref, b1_ref,      # (nblocks, Cin_max, Cm) packed 1x1 conv1
+    w2_ref, m2_ref, b2_ref,      # (nblocks, 3, 3, Cm, Cm)
+    w3_ref, m3_ref, b3_ref,      # (nblocks, Cm, Cout)
+    wd_ref, md_ref, bd_ref,      # (Cin0, Cout) block-0 shortcut
+    coef_ref,                    # (nblocks, 2)
+    out_ref,
+    *, nblocks, h, wdt, cin0, cm, cout, chunk,
+):
+    hw = h * wdt
+    x0 = x_ref[0].reshape(hw, cin0)  # block-0 input (64ch for layer1)
+
+    def conv2(x1):
+        x1pad = jnp.zeros((h + 2, wdt + 2, cm), jnp.int8)
+        return jax.lax.dynamic_update_slice(x1pad, x1.reshape(h, wdt, cm), (1, 1, 0))
+
+    x = None  # running (hw, cout) int8
+    for blk in range(nblocks):
+        src = x0 if blk == 0 else x
+        kin = cin0 if blk == 0 else cout
+        f1 = _dot_i8(src, w1_ref[blk, :kin, :]).astype(jnp.float32)
+        x1 = _requant(jnp.maximum(f1 * m1_ref[blk] + b1_ref[blk], 0.0))
+        x2 = _conv3x3_i8(conv2(x1), w2_ref[blk], h, wdt, cm)
+        x2 = _requant(jnp.maximum(x2.astype(jnp.float32) * m2_ref[blk] + b2_ref[blk], 0.0))
+        # conv3 (+ shortcut + add) in channel chunks to bound f32 VMEM
+        pieces = []
+        for c0 in range(0, cout, chunk):
+            f3 = _dot_i8(x2, w3_ref[blk, :, c0 : c0 + chunk]).astype(jnp.float32)
+            x3 = _requant(f3 * m3_ref[blk, c0 : c0 + chunk] + b3_ref[blk, c0 : c0 + chunk])
+            if blk == 0:
+                fr = _dot_i8(x0, wd_ref[:, c0 : c0 + chunk]).astype(jnp.float32)
+                r = _requant(fr * md_ref[c0 : c0 + chunk] + bd_ref[c0 : c0 + chunk])
+            else:
+                r = x[:, c0 : c0 + chunk]
+            f = x3.astype(jnp.float32) * coef_ref[blk, 0] + r.astype(
+                jnp.float32
+            ) * coef_ref[blk, 1]
+            pieces.append(_requant(jnp.maximum(f, 0.0)))
+        x = jnp.concatenate(pieces, axis=-1)
+    out_ref[0] = x.reshape(h, wdt, cout)
+
+
+@functools.partial(jax.jit, static_argnames=("nblocks", "chunk", "interpret"))
+def fused_bottleneck_chain(
+    x: Array,          # (B, H, W, Cin0) int8
+    w1: Array, m1: Array, b1: Array,   # (n, Cin_max, Cm) / (n, Cm)
+    w2: Array, m2: Array, b2: Array,   # (n, 3, 3, Cm, Cm) / (n, Cm)
+    w3: Array, m3: Array, b3: Array,   # (n, Cm, Cout) / (n, Cout)
+    wd: Array, md: Array, bd: Array,   # (Cin0, Cout) / (Cout,)
+    coeffs: Array,                     # (n, 2)
+    nblocks: int,
+    chunk: int = 64,
+    interpret: bool | None = None,
+) -> Array:
+    """HRNet layer1: the 4-Bottleneck chain (stem res, 64->64->256 with a
+    block-0 projection shortcut) fused into one VMEM-resident kernel.
+    Per-op this chain moves ~16 ms of HBM traffic at b128 (the largest
+    IO item in the int8 roofline); fused it reads the 64-ch input once
+    and writes the 256-ch output once per image."""
+    b, h, wdt, cin0 = x.shape
+    cm = w2.shape[-1]
+    cout = w3.shape[-1]
+    on_tpu = jax.devices()[0].platform == "tpu"
+    kernel = functools.partial(
+        _bottleneck_chain_kernel,
+        nblocks=nblocks, h=h, wdt=wdt, cin0=cin0, cm=cm, cout=cout, chunk=chunk,
+    )
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, wdt, cin0), lambda i: (i, 0, 0, 0)),
+            full(w1), full(m1), full(b1),
+            full(w2), full(m2), full(b2),
+            full(w3), full(m3), full(b3),
+            full(wd), full(md), full(bd),
+            full(coeffs),
+        ],
+        out_specs=pl.BlockSpec((1, h, wdt, cout), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, wdt, cout), jnp.int8),
+        interpret=not on_tpu if interpret is None else interpret,
+    )(x, w1, m1, b1, w2, m2, b2, w3, m3, b3, wd, md, bd, coeffs)
+
+
+def bottleneck_params_from_q(q: dict, nblocks: int):
+    """Pack layer1's quantized sites for `fused_bottleneck_chain`.
+
+    conv1 input widths differ per block (64 for block0, 256 after); the
+    packed w1 is zero-padded to the max input width — zero rows
+    contribute nothing to the int32 dot."""
+    convs = q["convs"]
+    if "layer1/block0/down" not in convs:
+        return None
+    cm = convs["layer1/block0/conv2"]["w8"].shape[-1]
+    cout = convs["layer1/block0/conv3"]["w8"].shape[-1]
+    cin_max = max(
+        convs[f"layer1/block{k}/conv1"]["w8"].shape[-2] for k in range(nblocks)
+    )
+    w1s, m1s, b1s, w2s, m2s, b2s, w3s, m3s, b3s, cfs = ([] for _ in range(10))
+    for k in range(nblocks):
+        c1 = convs[f"layer1/block{k}/conv1"]
+        c2 = convs[f"layer1/block{k}/conv2"]
+        c3 = convs[f"layer1/block{k}/conv3"]
+        w1 = c1["w8"][0, 0]  # (Cin, Cm)
+        pad = cin_max - w1.shape[0]
+        if pad:
+            w1 = jnp.pad(w1, ((0, pad), (0, 0)))
+        w1s.append(w1)
+        m1s.append(c1["m"]); b1s.append(c1["b"])
+        w2s.append(c2["w8"]); m2s.append(c2["m"]); b2s.append(c2["b"])
+        w3s.append(c3["w8"][0, 0]); m3s.append(c3["m"]); b3s.append(c3["b"])
+        cfs.append(jnp.asarray(q["adds"][f"layer1/block{k}"]["coeffs"], jnp.float32))
+    d = convs["layer1/block0/down"]
+    return dict(
+        w1=jnp.stack(w1s), m1=jnp.stack(m1s), b1=jnp.stack(b1s),
+        w2=jnp.stack(w2s), m2=jnp.stack(m2s), b2=jnp.stack(b2s),
+        w3=jnp.stack(w3s), m3=jnp.stack(m3s), b3=jnp.stack(b3s),
+        wd=d["w8"][0, 0], md=d["m"], bd=d["b"],
+        coeffs=jnp.stack(cfs),
+    )
+
+
 def chain_params_from_q(q: dict, prefix: str, branch: int, nblocks: int):
     """Collect one module-branch's BasicBlock params from the quantized
     tree (models/hrnet_int8.py layout) into the kernel's stacked arrays.

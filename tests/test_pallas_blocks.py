@@ -101,3 +101,111 @@ class TestFusedBlockChain:
         np.testing.assert_allclose(
             np.asarray(out, np.int32), np.asarray(ref, np.int32), atol=1
         )
+
+
+class TestFusedBottleneckChain:
+    def test_matches_xla_walk(self):
+        """layer1-style chain: block0 projects 16->64 with a shortcut
+        conv, blocks 1+ run 64->16->64 with identity residuals."""
+        import jax.numpy as jnp
+
+        from spacecraft_pose_estimation_tpu.ops.pallas_blocks import (
+            fused_bottleneck_chain,
+        )
+
+        rng = np.random.default_rng(7)
+        b, h, w = 2, 8, 8
+        cin0, cm, cout, nblocks = 16, 16, 64, 3
+
+        def rw(*shape, lo=-40, hi=40):
+            return jnp.asarray(rng.integers(lo, hi, shape), jnp.int8)
+
+        def rf(*shape, lo=5e-4, hi=2e-3):
+            return jnp.asarray(rng.uniform(lo, hi, shape), jnp.float32)
+
+        cin_max = cout
+        w1 = np.zeros((nblocks, cin_max, cm), np.int8)
+        w1[0, :cin0] = np.asarray(rw(cin0, cm))
+        for k in range(1, nblocks):
+            w1[k] = np.asarray(rw(cout, cm))
+        w1 = jnp.asarray(w1)
+        m1, b1 = rf(nblocks, cm), rf(nblocks, cm, lo=-0.2, hi=0.2)
+        w2 = rw(nblocks, 3, 3, cm, cm)
+        m2, b2 = rf(nblocks, cm), rf(nblocks, cm, lo=-0.2, hi=0.2)
+        w3 = rw(nblocks, cm, cout)
+        m3, b3 = rf(nblocks, cout), rf(nblocks, cout, lo=-0.2, hi=0.2)
+        wd = rw(cin0, cout)
+        md, bd = rf(cout), rf(cout, lo=-0.2, hi=0.2)
+        coeffs = rf(nblocks, 2, lo=0.4, hi=1.2)
+
+        x = jnp.asarray(rng.integers(-80, 80, (b, h, w, cin0)), jnp.int8)
+
+        # XLA reference of the same per-op walk
+        def requant(f):
+            return jnp.clip(jnp.round(f), -127, 127).astype(jnp.int8)
+
+        def dot(a, wk):
+            return jax.lax.dot_general(
+                a, wk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+
+        def conv3(xi, wk):
+            return jax.lax.conv_general_dilated(
+                xi, wk, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+
+        hw = h * w
+        cur = None
+        x0 = x.reshape(b, hw, cin0)
+        for blk in range(nblocks):
+            src = x0 if blk == 0 else cur
+            kin = cin0 if blk == 0 else cout
+            f1 = jnp.einsum("bpc,cd->bpd", src.astype(jnp.int32),
+                            w1[blk, :kin].astype(jnp.int32)).astype(jnp.float32)
+            x1 = requant(jnp.maximum(f1 * m1[blk] + b1[blk], 0.0))
+            y2 = conv3(x1.reshape(b, h, w, cm), w2[blk])
+            x2 = requant(jnp.maximum(
+                y2.astype(jnp.float32) * m2[blk] + b2[blk], 0.0)).reshape(b, hw, cm)
+            f3 = jnp.einsum("bpc,cd->bpd", x2.astype(jnp.int32),
+                            w3[blk].astype(jnp.int32)).astype(jnp.float32)
+            x3 = requant(f3 * m3[blk] + b3[blk])
+            if blk == 0:
+                fr = jnp.einsum("bpc,cd->bpd", x0.astype(jnp.int32),
+                                wd.astype(jnp.int32)).astype(jnp.float32)
+                r = requant(fr * md + bd)
+            else:
+                r = cur
+            f = x3.astype(jnp.float32) * coeffs[blk, 0] + r.astype(jnp.float32) * coeffs[blk, 1]
+            cur = requant(jnp.maximum(f, 0.0))
+        ref = cur.reshape(b, h, w, cout)
+
+        out = fused_bottleneck_chain(
+            x, w1, m1, b1, w2, m2, b2, w3, m3, b3, wd, md, bd, coeffs,
+            nblocks, chunk=32, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out, np.int32), np.asarray(ref, np.int32), atol=1
+        )
+
+    def test_full_model_with_layer1_fusion(self):
+        """End-to-end tiny model: fused layer1 + fused branches vs the
+        per-op walk."""
+        from tests.test_hrnet_int8 import tiny_setup  # noqa: F401
+        # reuse via direct construction (fixture is module-scoped there)
+        from spacecraft_pose_estimation_tpu.models.hrnet import HRNET_TINY, HRNet
+        from spacecraft_pose_estimation_tpu.models.hrnet_int8 import (
+            hrnet_int8_apply,
+            quantize_hrnet,
+        )
+
+        model = HRNet(config=HRNET_TINY.with_joints(3))
+        rng = np.random.default_rng(2)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), train=False)
+        calib = jnp.asarray(rng.normal(0, 1.0, (2, 32, 32, 3)), jnp.float32)
+        q = quantize_hrnet(model, variables, calib)
+        x = jnp.asarray(rng.normal(0, 1.0, (1, 32, 32, 3)), jnp.float32)
+        ref = hrnet_int8_apply(model.config, q, x, fused_blocks=False)
+        out = hrnet_int8_apply(model.config, q, x, fused_blocks=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=1e-3)
