@@ -100,8 +100,14 @@ def build(batch, mode="int8"):
     return timed
 
 
+def _progress(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def measure(batch, mode, n_lo, n_hi, reps=3):
+    _progress(f"building {mode} pipeline (batch {batch})")
     timed = build(batch, mode)
+    _progress("compiling + first run")
     timed(n_lo)  # compile both variants
     timed(n_hi)
     t_lo = min(timed(n_lo) for _ in range(reps))
@@ -227,6 +233,7 @@ def main():
     n_hi = int(os.environ.get("BENCH_N_HI", "12"))
 
     fps = measure(batch, "int8", n_lo, n_hi)
+    _progress(f"primary int8 fps: {fps:.1f}")
     extra = {"mode": "int8_serving", "batch": batch}
     if os.environ.get("BENCH_FULL"):
         extra["bf16_fps"] = round(measure(batch, "bf16", n_lo, n_hi), 2)
@@ -236,9 +243,11 @@ def main():
     # frame, and the tracked mode (detect every 16th frame, hold box).
     if not os.environ.get("BENCH_SKIP_FULL_PATH"):
         try:
+            _progress("full path: detect every frame")
             extra["full_path_det_every_frame_fps"] = round(
                 measure_full_path(det_batch=8, det_every=1), 2
             )
+            _progress("full path: detect every 16th frame")
             extra["full_path_det_every_16_fps"] = round(
                 measure_full_path(det_batch=8, det_every=16), 2
             )

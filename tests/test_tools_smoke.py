@@ -303,3 +303,24 @@ class TestWorkflow:
         fposes = _json.loads((fused_out / "s0" / "opencv_poses.json").read_text())
         sposes = _json.loads((staged_out / "s0" / "opencv_poses.json").read_text())
         assert [p["image_name"] for p in fposes] == [p["image_name"] for p in sposes]
+
+    def test_demo_single_image(self, scene, trained, tmp_path):
+        """Executed demo: image + box -> keypoints + pose + overlay jpg
+        (landmark_regression/demo parity)."""
+        img = next((scene["frames"] / "test").glob("*.png"))
+        out = tmp_path / "demo.jpg"
+        r = run([
+            "tools/demo.py",
+            "--image", str(img),
+            "--checkpoint", str(trained["outdir"] / "checkpoints"),
+            "--model", "hrnet_tiny",
+            "--image-size", "64", "64",
+            "--landmarks-file", str(scene["root"] / "landmarks.csv"),
+            "--calibration-file", str(scene["root"] / "calibration.json"),
+            "--output", str(out),
+        ])
+        assert out.exists()
+        assert "mean confidence" in r.stdout
+        import cv2
+
+        assert cv2.imread(str(out)) is not None
