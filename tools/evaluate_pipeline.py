@@ -37,6 +37,12 @@ def main():
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--input-size", type=int, default=768)
     ap.add_argument(
+        "--serving",
+        action="store_true",
+        help="use the serving detector preset (512/256 proposal budget, "
+        "~1.6x faster inference; identical weights/topology)",
+    )
+    ap.add_argument(
         "--staged",
         action="store_true",
         help="run the three stages as separate processes glued by the file "
@@ -63,6 +69,7 @@ def main():
     from spacecraft_pose_estimation_tpu.data.detection_dataset import letterbox
     from spacecraft_pose_estimation_tpu.models import build_landmark_model
     from spacecraft_pose_estimation_tpu.models.rcnn import (
+        FASTER_RCNN_X101_SERVING,
         FASTER_RCNN_X101_SPACECRAFT,
         RCNN_TINY,
         GeneralizedRCNN,
@@ -79,9 +86,10 @@ def main():
     landmarks = coco_io.load_landmarks_csv(args.landmarks_file)
 
     # --- load detector ---
-    det_model = GeneralizedRCNN(
-        config=RCNN_TINY if args.tiny else FASTER_RCNN_X101_SPACECRAFT, dtype=jnp.bfloat16
+    det_cfg = RCNN_TINY if args.tiny else (
+        FASTER_RCNN_X101_SERVING if args.serving else FASTER_RCNN_X101_SPACECRAFT
     )
+    det_model = GeneralizedRCNN(config=det_cfg, dtype=jnp.bfloat16)
     size = args.input_size
     det_template = det_model.init(
         {"params": jax.random.key(0)}, jnp.zeros((1, size, size, 3)), train=False
