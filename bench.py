@@ -74,7 +74,19 @@ def build(batch, mode="int8"):
             jnp.asarray(rng.integers(0, 255, size=(4, 512, 512, 3)), jnp.float32)
         )
         q = quantize_hrnet(model, variables, calib)
-        serving_model = HRNetInt8(model.config)
+        # Pallas fused block chains: validate the lowering on a small
+        # smoke first; fall back to the per-op walk on any failure so
+        # the primary metric never dies on a kernel regression.
+        use_fused = os.environ.get("BENCH_FUSED", "1") == "1"
+        if use_fused:
+            try:
+                m_try = HRNetInt8(model.config, fused_blocks=True)
+                _ = float(jnp.sum(m_try.apply(q, calib[:2])))
+                _progress("fused block kernels: OK")
+            except Exception as e:
+                _progress(f"fused block kernels unavailable ({type(e).__name__}); per-op walk")
+                use_fused = False
+        serving_model = HRNetInt8(model.config, fused_blocks=use_fused)
         serving_vars = q
     else:
         serving_model, serving_vars = model, variables

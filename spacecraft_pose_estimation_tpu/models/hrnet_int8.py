@@ -58,6 +58,9 @@ class _QuantizeOps:
     def layer1_chain(self, nblocks, h):
         return None
 
+    def fuse_exchange(self, prefix, i, ys, downs):
+        return None
+
     def __init__(self, params, stats, scales):
         self.params = params
         self.stats = stats
@@ -188,6 +191,29 @@ class _Int8Ops:
         )
         return _Handle(out, None, "layer1/fused")
 
+    def fuse_exchange(self, prefix, i, ys, downs):
+        """Fuse-layer exchange output i: up 1x1 convs + nearest upsample
+        + n-way weighted add + relu in one VMEM pass
+        (ops/pallas_blocks.fused_up_exchange)."""
+        if not self.fused_blocks:
+            return None
+        from ..ops.pallas_blocks import fused_up_exchange
+
+        n = len(ys)
+        ups = []
+        for j in range(i + 1, n):
+            c = self.q["convs"].get(f"{prefix}/fuse/up{i}_{j}")
+            if c is None:
+                return None
+            ups.append((ys[j].value, c["w8"][0, 0], c["m"], c["b"]))
+        coeffs = jnp.asarray(
+            self.q["adds"][f"{prefix}/fuse/out{i}"]["coeffs"], jnp.float32
+        )
+        out = fused_up_exchange(
+            ys[i].value, [d.value for d in downs], ups, coeffs
+        )
+        return _Handle(out, None, f"{prefix}/fuse/out{i}/fused")
+
     def has(self, name):
         return name in self.q["convs"]
 
@@ -314,7 +340,24 @@ def _forward(ops, cfg: HRNetConfig, x=None):
             out_n = len(ys) if multi else 1
             outs = []
             for i in range(out_n):
+                # down chains stay per-op (strided convs, small outputs);
+                # the up 1x1s + upsamples + n-way add can fuse into one
+                # kernel pass at the destination resolution
+                downs = []
+                for j in range(i):
+                    y = ys[j]
+                    for k in range(i - j):
+                        last = k == i - j - 1
+                        y = ops.convbn(
+                            f"{prefix}/fuse/down{i}_{j}_{k}", y, 2, not last
+                        )
+                    downs.append(y)
+                fused_out = ops.fuse_exchange(prefix, i, ys, downs)
+                if fused_out is not None:
+                    outs.append(fused_out)
+                    continue
                 acc = [ys[i]]
+                ai = 0
                 for j in range(len(ys)):
                     if j == i:
                         continue
@@ -322,12 +365,8 @@ def _forward(ops, cfg: HRNetConfig, x=None):
                         y = ops.convbn(f"{prefix}/fuse/up{i}_{j}", ys[j], 1, False)
                         y = ops.upsample(y, 2 ** (j - i))
                     else:
-                        y = ys[j]
-                        for k in range(i - j):
-                            last = k == i - j - 1
-                            y = ops.convbn(
-                                f"{prefix}/fuse/down{i}_{j}_{k}", y, 2, not last
-                            )
+                        y = downs[ai]
+                        ai += 1
                     acc.append(y)
                 outs.append(ops.add(f"{prefix}/fuse/out{i}", acc, True))
             xs = outs

@@ -38,14 +38,17 @@ except Exception:  # pragma: no cover
 Array = jax.Array
 
 
-def _conv3x3_i8(xpad, w, h, wdt, c_out):
-    """xpad: (H+2, W+2, C) int8 VMEM value; w: (3, 3, C, Cout) int8.
-    Returns (H*W, Cout) int32 — nine shifted MXU contractions."""
+def _conv3x3_i8(pad_ref, w, h, wdt, c_out):
+    """pad_ref: (H+2, W+2, C) int8 VMEM scratch REF (borders zero);
+    w: (3, 3, C, Cout) int8. Returns (H*W, Cout) int32 — nine shifted
+    MXU contractions. Static ref slices only (Mosaic has no
+    dynamic_update_slice; the halo lives in scratch)."""
+    cin = pad_ref.shape[-1]
     acc = jnp.zeros((h * wdt, c_out), jnp.int32)
     for dy in range(3):
         for dx in range(3):
-            win = xpad[dy : dy + h, dx : dx + wdt, :]
-            a = win.reshape(h * wdt, xpad.shape[-1])
+            win = pad_ref[dy : dy + h, dx : dx + wdt, :]
+            a = win.reshape(h * wdt, cin)
             acc = acc + jax.lax.dot_general(
                 a,
                 w[dy, dx],
@@ -60,23 +63,21 @@ def _requant(f):
 
 
 def _block_chain_kernel(
-    x_ref, w_ref, m_ref, b_ref, coef_ref, out_ref, *, nblocks, h, wdt, c
+    x_ref, w_ref, m_ref, b_ref, coef_ref, out_ref, pad_ref, *, nblocks, h, wdt, c
 ):
     # x_ref: (1, H, W, C) int8; w_ref: (nblocks, 2, 3, 3, C, C) int8;
-    # m_ref/b_ref: (nblocks, 2, C) f32; coef_ref: (nblocks, 2) f32
+    # m_ref/b_ref: (nblocks, 2, C) f32; coef_ref: (nblocks, 2) f32;
+    # pad_ref: (H+2, W+2, C) int8 scratch, zeroed once (borders persist)
+    pad_ref[...] = jnp.zeros((h + 2, wdt + 2, c), jnp.int8)
     x = x_ref[0]
     for blk in range(nblocks):
-        xpad = jnp.zeros((h + 2, wdt + 2, c), jnp.int8)
-        xpad = jax.lax.dynamic_update_slice(xpad, x, (1, 1, 0))
-        y = _conv3x3_i8(xpad, w_ref[blk, 0], h, wdt, c)
+        pad_ref[1 : h + 1, 1 : wdt + 1, :] = x
+        y = _conv3x3_i8(pad_ref, w_ref[blk, 0], h, wdt, c)
         f = y.astype(jnp.float32) * m_ref[blk, 0] + b_ref[blk, 0]
         x1 = _requant(jnp.maximum(f, 0.0))
 
-        x1pad = jnp.zeros((h + 2, wdt + 2, c), jnp.int8)
-        x1pad = jax.lax.dynamic_update_slice(
-            x1pad, x1.reshape(h, wdt, c), (1, 1, 0)
-        )
-        y2 = _conv3x3_i8(x1pad, w_ref[blk, 1], h, wdt, c)
+        pad_ref[1 : h + 1, 1 : wdt + 1, :] = x1.reshape(h, wdt, c)
+        y2 = _conv3x3_i8(pad_ref, w_ref[blk, 1], h, wdt, c)
         f2 = y2.astype(jnp.float32) * m_ref[blk, 1] + b_ref[blk, 1]
         # conv2 output is requantized to int8 BEFORE the add — exactly
         # the _Int8Ops walk (convbn then add site), so results match the
@@ -119,6 +120,7 @@ def fused_basic_block_chain(
         ],
         out_specs=pl.BlockSpec((1, h, wdt, c), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int8),
+        scratch_shapes=[pltpu.VMEM((h + 2, wdt + 2, c), jnp.int8)],
         interpret=not on_tpu if interpret is None else interpret,
     )(x, weights, mult, bias, coeffs)
 
@@ -137,14 +139,12 @@ def _bottleneck_chain_kernel(
     wd_ref, md_ref, bd_ref,      # (Cin0, Cout) block-0 shortcut
     coef_ref,                    # (nblocks, 2)
     out_ref,
+    pad_ref,                     # (H+2, W+2, Cm) int8 scratch
     *, nblocks, h, wdt, cin0, cm, cout, chunk,
 ):
     hw = h * wdt
     x0 = x_ref[0].reshape(hw, cin0)  # block-0 input (64ch for layer1)
-
-    def conv2(x1):
-        x1pad = jnp.zeros((h + 2, wdt + 2, cm), jnp.int8)
-        return jax.lax.dynamic_update_slice(x1pad, x1.reshape(h, wdt, cm), (1, 1, 0))
+    pad_ref[...] = jnp.zeros((h + 2, wdt + 2, cm), jnp.int8)
 
     x = None  # running (hw, cout) int8
     for blk in range(nblocks):
@@ -152,7 +152,8 @@ def _bottleneck_chain_kernel(
         kin = cin0 if blk == 0 else cout
         f1 = _dot_i8(src, w1_ref[blk, :kin, :]).astype(jnp.float32)
         x1 = _requant(jnp.maximum(f1 * m1_ref[blk] + b1_ref[blk], 0.0))
-        x2 = _conv3x3_i8(conv2(x1), w2_ref[blk], h, wdt, cm)
+        pad_ref[1 : h + 1, 1 : wdt + 1, :] = x1.reshape(h, wdt, cm)
+        x2 = _conv3x3_i8(pad_ref, w2_ref[blk], h, wdt, cm)
         x2 = _requant(jnp.maximum(x2.astype(jnp.float32) * m2_ref[blk] + b2_ref[blk], 0.0))
         # conv3 (+ shortcut + add) in channel chunks to bound f32 VMEM
         pieces = []
@@ -211,6 +212,7 @@ def fused_bottleneck_chain(
         ],
         out_specs=pl.BlockSpec((1, h, wdt, cout), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, wdt, cout), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((h + 2, wdt + 2, cm), jnp.int8)],
         interpret=not on_tpu if interpret is None else interpret,
     )(x, w1, m1, b1, w2, m2, b2, w3, m3, b3, wd, md, bd, coeffs)
 
@@ -251,6 +253,90 @@ def bottleneck_params_from_q(q: dict, nblocks: int):
         wd=d["w8"][0, 0], md=d["m"], bd=d["b"],
         coeffs=jnp.stack(cfs),
     )
+
+
+def _up_add_kernel(*refs, n_down, n_up, h, wdt, c, factors):
+    """refs layout: yi, d_0..d_{n_down-1}, (u_j, wu_j, mu_j, bu_j) x n_up,
+    coeffs, out. Computes the fuse-exchange output for one branch:
+        relu(yi*c0 + sum(d_k * c_k) + sum(upsample(requant(1x1(u_j)))*c_j))
+    with every intermediate in VMEM (the per-op walk writes each 1x1
+    output, each upsample, and the add operands through HBM)."""
+    idx = 0
+    yi = refs[idx][0]; idx += 1
+    downs = []
+    for _ in range(n_down):
+        downs.append(refs[idx][0]); idx += 1
+    ups = []
+    for _ in range(n_up):
+        ups.append(
+            (refs[idx][0], refs[idx + 1][...], refs[idx + 2][...], refs[idx + 3][...])
+        )
+        idx += 4
+    coef = refs[idx]; idx += 1
+    out_ref = refs[idx]
+
+    acc = yi.astype(jnp.float32) * coef[0]
+    ci = 1
+    for d in downs:
+        acc = acc + d.astype(jnp.float32) * coef[ci]
+        ci += 1
+    for (u, wu, mu, bu), factor in zip(ups, factors):
+        uh, uw, uc = u.shape
+        f = _dot_i8(u.reshape(uh * uw, uc), wu).astype(jnp.float32) * mu + bu
+        q8 = _requant(f).reshape(uh, uw, c)
+        # nearest upsample as a broadcasting add on the 5-D view — no
+        # materialized big tensor, no dynamic_update_slice
+        acc5 = acc.reshape(uh, factor, uw, factor, c)
+        acc5 = acc5 + q8[:, None, :, None, :].astype(jnp.float32) * coef[ci]
+        acc = acc5.reshape(h, wdt, c)
+        ci += 1
+    out_ref[0] = _requant(jnp.maximum(acc, 0.0))
+
+
+def fused_up_exchange(
+    yi: Array,                      # (B, H, W, C) int8 — identity operand
+    downs: list,                    # already-at-res-i int8 operands
+    ups: list,                      # [(y_j (B,hj,wj,cj) int8, w (cj,C) i8, m, b)]
+    coeffs: Array,                  # (1 + len(downs) + len(ups),) f32
+    interpret: bool | None = None,
+) -> Array:
+    """Fuse-layer exchange for one output branch (HRModule fuse out_i):
+    1x1 convs of coarser branches + nearest-upsample + n-way weighted add
+    + relu in ONE kernel pass (per-op: each up conv, each upsample and
+    the add all round-trip HBM at the destination resolution)."""
+    b, h, wdt, c = yi.shape
+    factors = tuple(h // u[0].shape[1] for u in ups)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    kernel = functools.partial(
+        _up_add_kernel, n_down=len(downs), n_up=len(ups), h=h, wdt=wdt, c=c,
+        factors=factors,
+    )
+    operands = [yi, *downs]
+    in_specs = [
+        pl.BlockSpec(
+            (1,) + tuple(a.shape[1:]),
+            (lambda i, nd=a.ndim: (i,) + (0,) * (nd - 1)),
+        )
+        for a in operands
+    ]
+    flat_ups = []
+    for (u, wu, mu, bu) in ups:
+        flat_ups += [u, wu, mu, bu]
+        in_specs += [
+            pl.BlockSpec((1,) + tuple(u.shape[1:]), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec(wu.shape, lambda i: (0, 0)),
+            pl.BlockSpec(mu.shape, lambda i: (0,)),
+            pl.BlockSpec(bu.shape, lambda i: (0,)),
+        ]
+    in_specs.append(pl.BlockSpec(coeffs.shape, lambda i: (0,)))
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, h, wdt, c), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, wdt, c), jnp.int8),
+        interpret=not on_tpu if interpret is None else interpret,
+    )(*operands, *flat_ups, coeffs)
 
 
 def chain_params_from_q(q: dict, prefix: str, branch: int, nblocks: int):
