@@ -9,3 +9,7 @@ IO edge (events/io.py), matching the reference's CSV/AEDAT contracts.
 
 from .emulator import EmulatorConfig, EmulatorState, emulate_frame, emulate_sequence, init_state
 from .renderer import render_frames, ExposureMode
+
+# host-side recording formats: events/io.py (CSV, AEDAT2, h5),
+# events/aedat4.py (AEDAT-4 flatbuffer + native LZ4),
+# events/ddd20.py (DDD20 DAVIS hdf5) — imported lazily by the tools
