@@ -126,3 +126,43 @@ class TestRCNN:
         best = select_best_box(dets, (64, 48))
         np.testing.assert_allclose(np.asarray(best[0]), [5.0, 6.0, 7.0, 8.0])
         np.testing.assert_allclose(np.asarray(best[1]), [0, 0, 48, 64])
+
+
+class TestServingBudget:
+    def test_top1_box_invariant_to_proposal_budget(self):
+        """The serving preset halves the RPN test budgets; for a
+        single-object scene the argmax detection must not move
+        (justifies FASTER_RCNN_X101_SERVING for the bench/serving path)."""
+        import dataclasses
+
+        import numpy as np
+
+        from spacecraft_pose_estimation_tpu.models.rcnn import (
+            RCNN_TINY,
+            GeneralizedRCNN,
+            select_best_box,
+        )
+        from spacecraft_pose_estimation_tpu.models.rpn import RPNConfig
+
+        tiny_small = dataclasses.replace(
+            RCNN_TINY,
+            rpn=dataclasses.replace(
+                RCNN_TINY.rpn, pre_nms_topk_test=32, post_nms_topk_test=16
+            ),
+        )
+        model_full = GeneralizedRCNN(config=RCNN_TINY)
+        model_small = GeneralizedRCNN(config=tiny_small)
+
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 40, (1, 64, 64, 3)).astype(np.float32)
+        img[0, 20:44, 16:48] += 180.0  # strong single object
+
+        variables = model_full.init(
+            {"params": jax.random.key(1)}, jnp.zeros((1, 64, 64, 3)), train=False
+        )
+        d_full = model_full.apply(variables, jnp.asarray(img), train=False)
+        d_small = model_small.apply(variables, jnp.asarray(img), train=False)
+
+        b_full = np.asarray(select_best_box(d_full, (64, 64)))[0]
+        b_small = np.asarray(select_best_box(d_small, (64, 64)))[0]
+        np.testing.assert_allclose(b_small, b_full, atol=1.0)
