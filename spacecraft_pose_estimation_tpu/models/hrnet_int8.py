@@ -180,16 +180,13 @@ class _Int8Ops:
         p = bottleneck_params_from_q(self.q, nblocks)
         if p is None:
             return None
-        # VMEM guard: Mosaic widens int8 values to 32-bit vregs, so the
-        # resident set is ~ (x + out) * hw * cout * 4B (+ intermediates).
-        # At 128^2 x 256ch that is ~34 MB > the 16 MB VMEM budget
-        # (measured compile OOM: 56.9 MB scoped) — fall back to per-op
-        # until the kernel is strip-mined with halo DMA.
+        # VMEM guard (row-chunked kernel): int8 scratch refs
+        # (hw*cout + hw*cm*2 plus halo) and ~3-4 MB of widened row-chunk
+        # values must fit the 16 MB budget.
         hw = h.value.shape[1] * h.value.shape[2]
         cout = p["w3"].shape[-1]
         cm = p["w2"].shape[-1]
-        est = hw * (2 * cout + 3 * cm) * 4
-        if est > 12_000_000:
+        if hw * (cout + 2 * cm) + 4_000_000 > 13_000_000:
             return None
         out = fused_bottleneck_chain(
             h.value,

@@ -62,32 +62,64 @@ def _requant(f):
     return jnp.clip(jnp.round(f), -127, 127).astype(jnp.int8)
 
 
+def _conv3x3_rows(pad_ref, w, r0, rows, wdt, c_out):
+    """Conv rows [r0, r0+rows) from a padded scratch ref: nine shifted
+    contractions over a (rows+2)-row window. Returns (rows*W, Cout) i32."""
+    cin = pad_ref.shape[-1]
+    acc = jnp.zeros((rows * wdt, c_out), jnp.int32)
+    for dy in range(3):
+        for dx in range(3):
+            win = pad_ref[r0 + dy : r0 + dy + rows, dx : dx + wdt, :]
+            acc = acc + jax.lax.dot_general(
+                win.reshape(rows * wdt, cin),
+                w[dy, dx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+    return acc
+
+
 def _block_chain_kernel(
-    x_ref, w_ref, m_ref, b_ref, coef_ref, out_ref, pad_ref, *, nblocks, h, wdt, c
+    x_ref, w_ref, m_ref, b_ref, coef_ref, out_ref, pad_ref, pad2_ref,
+    *, nblocks, h, wdt, c, row_chunk
 ):
     # x_ref: (1, H, W, C) int8; w_ref: (nblocks, 2, 3, 3, C, C) int8;
     # m_ref/b_ref: (nblocks, 2, C) f32; coef_ref: (nblocks, 2) f32;
-    # pad_ref: (H+2, W+2, C) int8 scratch, zeroed once (borders persist)
+    # pad_ref/pad2_ref: (H+2, W+2, C) int8 scratch (borders stay zero).
+    #
+    # VMEM discipline: activations LIVE IN SCRATCH REFS (packed int8);
+    # only row-chunk values are materialized (Mosaic widens int8 values
+    # to 32-bit vregs, so whole-image values blow the 16 MB budget).
     pad_ref[...] = jnp.zeros((h + 2, wdt + 2, c), jnp.int8)
-    x = x_ref[0]
+    pad2_ref[...] = jnp.zeros((h + 2, wdt + 2, c), jnp.int8)
+    pad_ref[1 : h + 1, 1 : wdt + 1, :] = x_ref[0]
     for blk in range(nblocks):
-        pad_ref[1 : h + 1, 1 : wdt + 1, :] = x
-        y = _conv3x3_i8(pad_ref, w_ref[blk, 0], h, wdt, c)
-        f = y.astype(jnp.float32) * m_ref[blk, 0] + b_ref[blk, 0]
-        x1 = _requant(jnp.maximum(f, 0.0))
-
-        pad_ref[1 : h + 1, 1 : wdt + 1, :] = x1.reshape(h, wdt, c)
-        y2 = _conv3x3_i8(pad_ref, w_ref[blk, 1], h, wdt, c)
-        f2 = y2.astype(jnp.float32) * m_ref[blk, 1] + b_ref[blk, 1]
-        # conv2 output is requantized to int8 BEFORE the add — exactly
-        # the _Int8Ops walk (convbn then add site), so results match the
-        # XLA path bit-for-bit including the intermediate rounding
-        x2 = _requant(f2).reshape(h, wdt, c)
-        f_out = x2.astype(jnp.float32) * coef_ref[blk, 0] + x.astype(
-            jnp.float32
-        ) * coef_ref[blk, 1]
-        x = _requant(jnp.maximum(f_out, 0.0))
-    out_ref[0] = x
+        # conv1 (+relu) rows -> pad2 interior
+        for r0 in range(0, h, row_chunk):
+            rows = min(row_chunk, h - r0)
+            y = _conv3x3_rows(pad_ref, w_ref[blk, 0], r0, rows, wdt, c)
+            f = y.astype(jnp.float32) * m_ref[blk, 0] + b_ref[blk, 0]
+            pad2_ref[1 + r0 : 1 + r0 + rows, 1 : wdt + 1, :] = _requant(
+                jnp.maximum(f, 0.0)
+            ).reshape(rows, wdt, c)
+        # conv2 + requant + residual add (+relu) rows -> pad interior
+        # (in-place: residual rows are consumed exactly once, and conv2
+        # reads only pad2)
+        for r0 in range(0, h, row_chunk):
+            rows = min(row_chunk, h - r0)
+            y2 = _conv3x3_rows(pad2_ref, w_ref[blk, 1], r0, rows, wdt, c)
+            f2 = y2.astype(jnp.float32) * m_ref[blk, 1] + b_ref[blk, 1]
+            # conv2 output is requantized BEFORE the add — matches the
+            # _Int8Ops walk bit-for-bit incl. intermediate rounding
+            x2 = _requant(f2).reshape(rows, wdt, c)
+            res = pad_ref[1 + r0 : 1 + r0 + rows, 1 : wdt + 1, :]
+            f_out = x2.astype(jnp.float32) * coef_ref[blk, 0] + res.astype(
+                jnp.float32
+            ) * coef_ref[blk, 1]
+            pad_ref[1 + r0 : 1 + r0 + rows, 1 : wdt + 1, :] = _requant(
+                jnp.maximum(f_out, 0.0)
+            )
+    out_ref[0] = pad_ref[1 : h + 1, 1 : wdt + 1, :]
 
 
 @functools.partial(
@@ -105,8 +137,12 @@ def fused_basic_block_chain(
     """Runs `nblocks` BasicBlocks over x, one grid step per image."""
     b, h, wdt, c = x.shape
     on_tpu = jax.devices()[0].platform == "tpu"
+    # row-chunk so chunk VALUES stay ~1-2 MB after Mosaic's int8->32-bit
+    # vreg widening (chunk bytes ~ rows * W * C * 4 * ~4 live tensors)
+    row_chunk = max(8, min(h, (1 << 20) // max(wdt * c * 4, 1)))
     kernel = functools.partial(
-        _block_chain_kernel, nblocks=nblocks, h=h, wdt=wdt, c=c
+        _block_chain_kernel, nblocks=nblocks, h=h, wdt=wdt, c=c,
+        row_chunk=row_chunk,
     )
     return pl.pallas_call(
         kernel,
@@ -120,7 +156,10 @@ def fused_basic_block_chain(
         ],
         out_specs=pl.BlockSpec((1, h, wdt, c), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int8),
-        scratch_shapes=[pltpu.VMEM((h + 2, wdt + 2, c), jnp.int8)],
+        scratch_shapes=[
+            pltpu.VMEM((h + 2, wdt + 2, c), jnp.int8),
+            pltpu.VMEM((h + 2, wdt + 2, c), jnp.int8),
+        ],
         interpret=not on_tpu if interpret is None else interpret,
     )(x, weights, mult, bias, coeffs)
 
@@ -139,38 +178,60 @@ def _bottleneck_chain_kernel(
     wd_ref, md_ref, bd_ref,      # (Cin0, Cout) block-0 shortcut
     coef_ref,                    # (nblocks, 2)
     out_ref,
+    xs_ref,                      # (H, W, Cout) int8 scratch: running act
     pad_ref,                     # (H+2, W+2, Cm) int8 scratch
-    *, nblocks, h, wdt, cin0, cm, cout, chunk,
+    x2s_ref,                     # (H, W, Cm) int8 scratch
+    *, nblocks, h, wdt, cin0, cm, cout, row_chunk,
 ):
-    hw = h * wdt
-    x0 = x_ref[0].reshape(hw, cin0)  # block-0 input (64ch for layer1)
+    # Row-chunked, scratch-resident (see _block_chain_kernel note on
+    # Mosaic's int8->32-bit value widening).
     pad_ref[...] = jnp.zeros((h + 2, wdt + 2, cm), jnp.int8)
 
-    x = None  # running (hw, cout) int8
+    def rows_of(ref, r0, rows, ch):
+        return ref[r0 : r0 + rows, :, :].reshape(rows * wdt, ch)
+
     for blk in range(nblocks):
-        src = x0 if blk == 0 else x
         kin = cin0 if blk == 0 else cout
-        f1 = _dot_i8(src, w1_ref[blk, :kin, :]).astype(jnp.float32)
-        x1 = _requant(jnp.maximum(f1 * m1_ref[blk] + b1_ref[blk], 0.0))
-        pad_ref[1 : h + 1, 1 : wdt + 1, :] = x1.reshape(h, wdt, cm)
-        x2 = _conv3x3_i8(pad_ref, w2_ref[blk], h, wdt, cm)
-        x2 = _requant(jnp.maximum(x2.astype(jnp.float32) * m2_ref[blk] + b2_ref[blk], 0.0))
-        # conv3 (+ shortcut + add) in channel chunks to bound f32 VMEM
-        pieces = []
-        for c0 in range(0, cout, chunk):
-            f3 = _dot_i8(x2, w3_ref[blk, :, c0 : c0 + chunk]).astype(jnp.float32)
-            x3 = _requant(f3 * m3_ref[blk, c0 : c0 + chunk] + b3_ref[blk, c0 : c0 + chunk])
+        # conv1 1x1 (+relu) -> pad interior
+        for r0 in range(0, h, row_chunk):
+            rows = min(row_chunk, h - r0)
+            src = (
+                x_ref[0, r0 : r0 + rows, :, :].reshape(rows * wdt, cin0)
+                if blk == 0
+                else rows_of(xs_ref, r0, rows, cout)
+            )
+            f1 = _dot_i8(src, w1_ref[blk, :kin, :]).astype(jnp.float32)
+            pad_ref[1 + r0 : 1 + r0 + rows, 1 : wdt + 1, :] = _requant(
+                jnp.maximum(f1 * m1_ref[blk] + b1_ref[blk], 0.0)
+            ).reshape(rows, wdt, cm)
+        # conv2 3x3 (+relu) -> x2 scratch
+        for r0 in range(0, h, row_chunk):
+            rows = min(row_chunk, h - r0)
+            y2 = _conv3x3_rows(pad_ref, w2_ref[blk], r0, rows, wdt, cm)
+            x2s_ref[r0 : r0 + rows, :, :] = _requant(
+                jnp.maximum(y2.astype(jnp.float32) * m2_ref[blk] + b2_ref[blk], 0.0)
+            ).reshape(rows, wdt, cm)
+        # conv3 1x1 + (block-0 shortcut) + add (+relu) -> xs scratch
+        # (in-place: residual rows consumed once per row chunk)
+        for r0 in range(0, h, row_chunk):
+            rows = min(row_chunk, h - r0)
+            f3 = _dot_i8(
+                rows_of(x2s_ref, r0, rows, cm), w3_ref[blk]
+            ).astype(jnp.float32)
+            x3 = _requant(f3 * m3_ref[blk] + b3_ref[blk])
             if blk == 0:
-                fr = _dot_i8(x0, wd_ref[:, c0 : c0 + chunk]).astype(jnp.float32)
-                r = _requant(fr * md_ref[c0 : c0 + chunk] + bd_ref[c0 : c0 + chunk])
+                x0r = x_ref[0, r0 : r0 + rows, :, :].reshape(rows * wdt, cin0)
+                fr = _dot_i8(x0r, wd_ref[...]).astype(jnp.float32)
+                r = _requant(fr * md_ref[...] + bd_ref[...])
             else:
-                r = x[:, c0 : c0 + chunk]
+                r = rows_of(xs_ref, r0, rows, cout)
             f = x3.astype(jnp.float32) * coef_ref[blk, 0] + r.astype(
                 jnp.float32
             ) * coef_ref[blk, 1]
-            pieces.append(_requant(jnp.maximum(f, 0.0)))
-        x = jnp.concatenate(pieces, axis=-1)
-    out_ref[0] = x.reshape(h, wdt, cout)
+            xs_ref[r0 : r0 + rows, :, :] = _requant(
+                jnp.maximum(f, 0.0)
+            ).reshape(rows, wdt, cout)
+    out_ref[0] = xs_ref[...]
 
 
 @functools.partial(jax.jit, static_argnames=("nblocks", "chunk", "interpret"))
@@ -194,9 +255,11 @@ def fused_bottleneck_chain(
     cm = w2.shape[-1]
     cout = w3.shape[-1]
     on_tpu = jax.devices()[0].platform == "tpu"
+    row_chunk = max(8, min(h, (1 << 20) // max(wdt * cout * 4, 1)))
     kernel = functools.partial(
         _bottleneck_chain_kernel,
-        nblocks=nblocks, h=h, wdt=wdt, cin0=cin0, cm=cm, cout=cout, chunk=chunk,
+        nblocks=nblocks, h=h, wdt=wdt, cin0=cin0, cm=cm, cout=cout,
+        row_chunk=row_chunk,
     )
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
     return pl.pallas_call(
@@ -212,7 +275,11 @@ def fused_bottleneck_chain(
         ],
         out_specs=pl.BlockSpec((1, h, wdt, cout), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, wdt, cout), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((h + 2, wdt + 2, cm), jnp.int8)],
+        scratch_shapes=[
+            pltpu.VMEM((h, wdt, cout), jnp.int8),
+            pltpu.VMEM((h + 2, wdt + 2, cm), jnp.int8),
+            pltpu.VMEM((h, wdt, cm), jnp.int8),
+        ],
         interpret=not on_tpu if interpret is None else interpret,
     )(x, w1, m1, b1, w2, m2, b2, w3, m3, b3, wd, md, bd, coeffs)
 
