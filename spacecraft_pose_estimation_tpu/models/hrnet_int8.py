@@ -204,7 +204,17 @@ class _Int8Ops:
     def fuse_exchange(self, prefix, i, ys, downs):
         """Fuse-layer exchange output i: up 1x1 convs + nearest upsample
         + n-way weighted add + relu in one VMEM pass
-        (ops/pallas_blocks.fused_up_exchange)."""
+        (ops/pallas_blocks.fused_up_exchange).
+
+        DISABLED pending a Mosaic fix: the 5-D broadcast-add upsample
+        crashes the TPU compile helper (HTTP 500 from remote_compile;
+        interpret mode and the other two kernels are fine). The per-op
+        exchange is used instead; re-enable via _SPE_FUSE_EXCHANGE=1 to
+        debug."""
+        import os
+
+        if os.environ.get("_SPE_FUSE_EXCHANGE") != "1":
+            return None
         if not self.fused_blocks:
             return None
         from ..ops.pallas_blocks import fused_up_exchange
