@@ -64,12 +64,13 @@ def _requant(f):
 
 def _conv3x3_rows(pad_ref, w, r0, rows, wdt, c_out):
     """Conv rows [r0, r0+rows) from a padded scratch ref: nine shifted
-    contractions over a (rows+2)-row window. Returns (rows*W, Cout) i32."""
+    contractions over a (rows+2)-row window. r0 may be a traced index
+    (pl.ds); rows is static. Returns (rows*W, Cout) i32."""
     cin = pad_ref.shape[-1]
     acc = jnp.zeros((rows * wdt, c_out), jnp.int32)
     for dy in range(3):
         for dx in range(3):
-            win = pad_ref[r0 + dy : r0 + dy + rows, dx : dx + wdt, :]
+            win = pad_ref[pl.ds(r0 + dy, rows), dx : dx + wdt, :]
             acc = acc + jax.lax.dot_general(
                 win.reshape(rows * wdt, cin),
                 w[dy, dx],
@@ -93,32 +94,42 @@ def _block_chain_kernel(
     pad_ref[...] = jnp.zeros((h + 2, wdt + 2, c), jnp.int8)
     pad2_ref[...] = jnp.zeros((h + 2, wdt + 2, c), jnp.int8)
     pad_ref[1 : h + 1, 1 : wdt + 1, :] = x_ref[0]
+    n_chunks = h // row_chunk  # h is a multiple of row_chunk (caller)
     for blk in range(nblocks):
-        # conv1 (+relu) rows -> pad2 interior
-        for r0 in range(0, h, row_chunk):
-            rows = min(row_chunk, h - r0)
-            y = _conv3x3_rows(pad_ref, w_ref[blk, 0], r0, rows, wdt, c)
+        # conv1 (+relu) rows -> pad2 interior. fori_loop (not an
+        # unrolled python loop): Mosaic's stack-liveness accounting is
+        # per-iteration, keeping scoped VMEM ~1-2 MB
+        def conv1_body(i, _, blk=blk):
+            r0 = i * row_chunk
+            y = _conv3x3_rows(pad_ref, w_ref[blk, 0], r0, row_chunk, wdt, c)
             f = y.astype(jnp.float32) * m_ref[blk, 0] + b_ref[blk, 0]
-            pad2_ref[1 + r0 : 1 + r0 + rows, 1 : wdt + 1, :] = _requant(
+            pad2_ref[pl.ds(1 + r0, row_chunk), 1 : wdt + 1, :] = _requant(
                 jnp.maximum(f, 0.0)
-            ).reshape(rows, wdt, c)
+            ).reshape(row_chunk, wdt, c)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, conv1_body, 0)
+
         # conv2 + requant + residual add (+relu) rows -> pad interior
         # (in-place: residual rows are consumed exactly once, and conv2
         # reads only pad2)
-        for r0 in range(0, h, row_chunk):
-            rows = min(row_chunk, h - r0)
-            y2 = _conv3x3_rows(pad2_ref, w_ref[blk, 1], r0, rows, wdt, c)
+        def conv2_body(i, _, blk=blk):
+            r0 = i * row_chunk
+            y2 = _conv3x3_rows(pad2_ref, w_ref[blk, 1], r0, row_chunk, wdt, c)
             f2 = y2.astype(jnp.float32) * m_ref[blk, 1] + b_ref[blk, 1]
             # conv2 output is requantized BEFORE the add — matches the
             # _Int8Ops walk bit-for-bit incl. intermediate rounding
-            x2 = _requant(f2).reshape(rows, wdt, c)
-            res = pad_ref[1 + r0 : 1 + r0 + rows, 1 : wdt + 1, :]
+            x2 = _requant(f2).reshape(row_chunk, wdt, c)
+            res = pad_ref[pl.ds(1 + r0, row_chunk), 1 : wdt + 1, :]
             f_out = x2.astype(jnp.float32) * coef_ref[blk, 0] + res.astype(
                 jnp.float32
             ) * coef_ref[blk, 1]
-            pad_ref[1 + r0 : 1 + r0 + rows, 1 : wdt + 1, :] = _requant(
+            pad_ref[pl.ds(1 + r0, row_chunk), 1 : wdt + 1, :] = _requant(
                 jnp.maximum(f_out, 0.0)
             )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, conv2_body, 0)
     out_ref[0] = pad_ref[1 : h + 1, 1 : wdt + 1, :]
 
 
@@ -137,9 +148,11 @@ def fused_basic_block_chain(
     """Runs `nblocks` BasicBlocks over x, one grid step per image."""
     b, h, wdt, c = x.shape
     on_tpu = jax.devices()[0].platform == "tpu"
-    # row-chunk so chunk VALUES stay ~1-2 MB after Mosaic's int8->32-bit
-    # vreg widening (chunk bytes ~ rows * W * C * 4 * ~4 live tensors)
-    row_chunk = max(8, min(h, (1 << 20) // max(wdt * c * 4, 1)))
+    # row-chunk so chunk VALUES stay ~1 MB after Mosaic's int8->32-bit
+    # vreg widening; must divide h evenly for the in-kernel fori_loop
+    row_chunk = max(8, min(h, (1 << 19) // max(wdt * c * 4, 1)))
+    while h % row_chunk:
+        row_chunk -= 1
     kernel = functools.partial(
         _block_chain_kernel, nblocks=nblocks, h=h, wdt=wdt, c=c,
         row_chunk=row_chunk,
