@@ -38,45 +38,32 @@ except Exception:  # pragma: no cover
 Array = jax.Array
 
 
-def _conv3x3_i8(pad_ref, w, h, wdt, c_out):
-    """pad_ref: (H+2, W+2, C) int8 VMEM scratch REF (borders zero);
-    w: (3, 3, C, Cout) int8. Returns (H*W, Cout) int32 — nine shifted
-    MXU contractions. Static ref slices only (Mosaic has no
-    dynamic_update_slice; the halo lives in scratch)."""
-    cin = pad_ref.shape[-1]
-    acc = jnp.zeros((h * wdt, c_out), jnp.int32)
-    for dy in range(3):
-        for dx in range(3):
-            win = pad_ref[dy : dy + h, dx : dx + wdt, :]
-            a = win.reshape(h * wdt, cin)
-            acc = acc + jax.lax.dot_general(
-                a,
-                w[dy, dx],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-    return acc
-
-
 def _requant(f):
     return jnp.clip(jnp.round(f), -127, 127).astype(jnp.int8)
 
 
 def _conv3x3_rows(pad_ref, w, r0, rows, wdt, c_out):
-    """Conv rows [r0, r0+rows) from a padded scratch ref: nine shifted
-    contractions over a (rows+2)-row window. r0 may be a traced index
-    (pl.ds); rows is static. Returns (rows*W, Cout) i32."""
+    """Conv rows [r0, r0+rows) from a padded scratch ref. r0 may be a
+    traced index (pl.ds); rows is static. Returns (rows*W, Cout) i32.
+
+    Three contractions, not nine: the 3 dy taps are stacked along the
+    channel axis once (K = 3*Cin — also a 3x better MXU contraction
+    fill at Cin=32), then each dx is a column slice + one dot. Keeping
+    only ONE stacked window live (instead of 9 shifted slices) is what
+    holds Mosaic's scoped-VMEM stack under the 16 MB limit."""
     cin = pad_ref.shape[-1]
+    stacked = jnp.concatenate(
+        [pad_ref[pl.ds(r0 + dy, rows), :, :] for dy in range(3)], axis=-1
+    )  # (rows, W+2, 3*Cin), dy-major channel order
     acc = jnp.zeros((rows * wdt, c_out), jnp.int32)
-    for dy in range(3):
-        for dx in range(3):
-            win = pad_ref[pl.ds(r0 + dy, rows), dx : dx + wdt, :]
-            acc = acc + jax.lax.dot_general(
-                win.reshape(rows * wdt, cin),
-                w[dy, dx],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
+    for dx in range(3):
+        win = stacked[:, dx : dx + wdt, :].reshape(rows * wdt, 3 * cin)
+        acc = acc + jax.lax.dot_general(
+            win,
+            w[:, dx].reshape(3 * cin, c_out),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
     return acc
 
 
