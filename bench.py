@@ -77,7 +77,7 @@ def build(batch, mode="int8"):
         # Pallas fused block chains: validate the lowering on a small
         # smoke first; fall back to the per-op walk on any failure so
         # the primary metric never dies on a kernel regression.
-        use_fused = os.environ.get("BENCH_FUSED", "1") == "1"
+        use_fused = os.environ.get("BENCH_FUSED", "0") == "1"
         if use_fused:
             try:
                 m_try = HRNetInt8(model.config, fused_blocks=True)

@@ -459,7 +459,11 @@ def hrnet_int8_apply(
     Pallas kernel; default = on when the first device is a TPU (the
     interpreter fallback is correct but slow on CPU)."""
     if fused_blocks is None:
-        fused_blocks = jax.devices()[0].platform == "tpu"
+        # default OFF: the per-op XLA walk measures 1332 fps e2e vs 436
+        # with the fused chains — XLA's int8 conv codegen beats the
+        # VMEM-constrained Pallas formulation (see DEVNOTES round 2);
+        # the kernels remain available for experimentation.
+        fused_blocks = False
     ops = _Int8Ops(q, x, q["in_scale"], fused_blocks=fused_blocks)
     return _forward(ops, cfg, x)
 
