@@ -242,6 +242,8 @@ if __name__ == "__main__":
         decompose_probe()
     if "serving" in stages:
         serving_probe()
+    if "serving16" in stages:
+        serving_probe(batch=16)
     if "conv" in stages:
         conv_probe()
     if "backbone" in stages:

@@ -112,6 +112,8 @@ class GeneralizedRCNN(nn.Module):
         gt_keypoints: Array | None = None,  # (B, G, K, 3) x,y,vis (with_keypoints)
         rng: Array | None = None,
         train: bool = False,
+        precomputed_feats: dict | None = None,  # res2..res5 (serving: e.g.
+        # the int8 PTQ backbone, models/backbone_int8.py, feeds these)
     ):
         cfg = self.config
         b, h, w = images.shape[0], images.shape[1], images.shape[2]
@@ -120,7 +122,12 @@ class GeneralizedRCNN(nn.Module):
         std = jnp.asarray(cfg.pixel_std, jnp.float32)
         x = (images.astype(jnp.float32) - mean) / std
 
-        feats = ResNetBackbone(cfg.backbone, dtype=self.dtype, name="backbone")(x)
+        if precomputed_feats is None:
+            feats = ResNetBackbone(cfg.backbone, dtype=self.dtype, name="backbone")(x)
+        else:
+            # params of the unused backbone still exist in the tree; the
+            # serving caller replaces its compute with a quantized one
+            feats = precomputed_feats
         pyramid = FPN(cfg.fpn_channels, dtype=self.dtype, name="fpn")(feats)
 
         levels = sorted(pyramid.keys())
