@@ -100,8 +100,7 @@ def quantize_backbone(cfg: ResNetConfig, variables, calib_x) -> dict:
     params = jax.tree_util.tree_map(np.asarray, variables["params"])
     scales = collect_backbone_scales(cfg, variables, calib_x)
 
-    q: dict = {"convs": {}, "blocks": {}, "stem": {}, "feature_scales": {},
-               "cfg": cfg}
+    q: dict = {"convs": {}, "blocks": {}, "stem": {}, "feature_scales": {}}
 
     def quant_conv(site, p, in_scale, groups=1):
         w, beta = _fold_frozen(p)
@@ -180,11 +179,11 @@ def _requant(f):
     return jnp.clip(jnp.round(f), -127, 127).astype(jnp.int8)
 
 
-def backbone_int8_apply(q: dict, x_norm) -> dict:
+def backbone_int8_apply(cfg: ResNetConfig, q: dict, x_norm) -> dict:
     """x_norm: (B, H, W, 3) f32 NORMALIZED images ((x - mean) / std, the
     same contract ResNetBackbone sees inside GeneralizedRCNN). Returns
-    {res2..res5: bf16 features} for the FPN."""
-    cfg: ResNetConfig = q["cfg"]
+    {res2..res5: bf16 features} for the FPN. ``cfg`` is static (jit with
+    functools.partial or static_argnums); ``q`` is a plain pytree."""
 
     y = jax.lax.conv_general_dilated(
         x_norm.astype(jnp.bfloat16), q["stem"]["w_bf16"], (2, 2),

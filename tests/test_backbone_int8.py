@@ -53,7 +53,7 @@ def test_int8_backbone_matches_bf16(cfg):
 
     x = jnp.asarray(rng.normal(0, 1.0, (2, 64, 64, 3)), jnp.float32)
     ref = model.apply(variables, x)
-    out = backbone_int8_apply(q, x)
+    out = backbone_int8_apply(cfg, q, x)
 
     assert set(out.keys()) == set(ref.keys())
     for k in ref:
@@ -91,7 +91,7 @@ def test_precomputed_feats_integration():
     x_norm = (jnp.asarray(img) - mean) / std
     bvars = {"params": variables["params"]["backbone"]}
     q = quantize_backbone(RCNN_TINY.backbone, bvars, x_norm)
-    feats = backbone_int8_apply(q, x_norm)
+    feats = backbone_int8_apply(RCNN_TINY.backbone, q, x_norm)
 
     out = model.apply(
         variables, jnp.asarray(img), train=False, precomputed_feats=feats
