@@ -107,11 +107,12 @@ def quantize_backbone(cfg: ResNetConfig, variables, calib_x) -> dict:
         s_w = np.maximum(np.abs(w).reshape(-1, w.shape[-1]).max(0), 1e-12) / 127.0
         w8 = np.clip(np.round(w / s_w), -127, 127).astype(np.int8)
         s_out = scales[site]
+        # NOTE: no python ints in q — it must stay a clean jit pytree;
+        # group counts are recomputed from cfg at apply time
         q["convs"][site] = {
             "w8": jnp.asarray(w8),
             "m": jnp.asarray(in_scale * s_w / s_out, jnp.float32),
             "b": jnp.asarray(beta / s_out, jnp.float32),
-            "groups": groups,
         }
         return s_out
 
@@ -143,11 +144,11 @@ def quantize_backbone(cfg: ResNetConfig, variables, calib_x) -> dict:
     return q
 
 
-def _conv_i8(x, c, stride):
+def _conv_i8(x, c, stride, groups=1):
     """int8 conv with requant epilogue; grouped kernels expand to
     128-wide merged groups (block-diagonal zeros — exact)."""
     w = c["w8"]
-    g = c["groups"]
+    g = groups
     k = w.shape[0]
     if g > 1:
         cgi = w.shape[2]
@@ -198,7 +199,7 @@ def backbone_int8_apply(cfg: ResNetConfig, q: dict, x_norm) -> dict:
         convs = q["convs"]
         s1, s3_ = (stride, 1) if cfg.stride_in_1x1 else (1, stride)
         h1 = _requant(jnp.maximum(_conv_i8(x, convs[f"{blk}/conv1"], s1), 0.0))
-        h2 = _requant(jnp.maximum(_conv_i8(h1, convs[f"{blk}/conv2"], s3_), 0.0))
+        h2 = _requant(jnp.maximum(_conv_i8(h1, convs[f"{blk}/conv2"], s3_, groups=cfg.groups), 0.0))
         h3 = _requant(_conv_i8(h2, convs[f"{blk}/conv3"], 1))
         if has_sc:
             sc = _requant(_conv_i8(x, convs[f"{blk}/shortcut"], stride))
