@@ -322,3 +322,50 @@ def padded_detections_to_list(dets: dict) -> list[dict]:
         v = valid[i]
         out.append({"boxes": boxes[i][v], "scores": scores[i][v]})
     return out
+
+
+def evaluate_semantic_segmentation(
+    predictions: list,
+    ground_truths: list,
+    num_classes: int,
+    ignore_label: int = 255,
+) -> dict[str, float]:
+    """Semantic-segmentation evaluation (detectron2
+    evaluation/sem_seg_evaluation.py semantics): per-pixel confusion
+    matrix over label maps -> mIoU, fwIoU, mACC, pACC.
+
+    predictions/ground_truths: per-image (H, W) integer label maps;
+    pixels with gt == ignore_label are excluded.
+    """
+    conf = np.zeros((num_classes, num_classes), np.int64)
+    for pred, gt in zip(predictions, ground_truths):
+        pred = np.asarray(pred).reshape(-1)
+        gt = np.asarray(gt).reshape(-1)
+        keep = gt != ignore_label
+        pred, gt = pred[keep], gt[keep]
+        conf += np.bincount(
+            gt.astype(np.int64) * num_classes + pred.astype(np.int64),
+            minlength=num_classes * num_classes,
+        ).reshape(num_classes, num_classes)
+
+    tp = np.diag(conf).astype(np.float64)
+    pos_gt = conf.sum(axis=1).astype(np.float64)
+    pos_pred = conf.sum(axis=0).astype(np.float64)
+    union = pos_gt + pos_pred - tp
+    valid = pos_gt > 0
+    iou = np.full(num_classes, np.nan)
+    iou[union > 0] = tp[union > 0] / union[union > 0]
+    acc = np.full(num_classes, np.nan)
+    acc[valid] = tp[valid] / pos_gt[valid]
+    freq = pos_gt / max(pos_gt.sum(), 1)
+
+    miou = float(np.nanmean(iou[valid])) if valid.any() else float("nan")
+    fwiou = float(np.nansum(iou[valid] * freq[valid])) if valid.any() else float("nan")
+    macc = float(np.nanmean(acc[valid])) if valid.any() else float("nan")
+    pacc = float(tp.sum() / max(pos_gt.sum(), 1))
+    return {
+        "mIoU": miou * 100,
+        "fwIoU": fwiou * 100,
+        "mACC": macc * 100,
+        "pACC": pacc * 100,
+    }

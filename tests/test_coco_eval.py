@@ -214,3 +214,43 @@ class TestRotatedEvaluator:
         assert evaluate_rotated_detections(aligned, gt)["AP"] > 99.0
         # a thin box rotated 90 deg overlaps its GT far below 0.5 IoU
         assert evaluate_rotated_detections(crossed, gt)["AP50"] == 0.0
+
+
+class TestSemSegEvaluator:
+    def test_perfect_prediction(self):
+        from spacecraft_pose_estimation_tpu.data.coco_eval import (
+            evaluate_semantic_segmentation,
+        )
+
+        rng = np.random.default_rng(0)
+        gts = [rng.integers(0, 4, (16, 16)) for _ in range(3)]
+        res = evaluate_semantic_segmentation(gts, gts, num_classes=4)
+        assert res["mIoU"] == pytest.approx(100.0)
+        assert res["pACC"] == pytest.approx(100.0)
+
+    def test_known_confusion(self):
+        from spacecraft_pose_estimation_tpu.data.coco_eval import (
+            evaluate_semantic_segmentation,
+        )
+
+        gt = np.zeros((4, 4), np.int64)
+        gt[2:] = 1
+        pred = gt.copy()
+        pred[0, 0] = 1  # one class-0 pixel mislabeled
+        res = evaluate_semantic_segmentation([pred], [gt], num_classes=2)
+        # class0: tp=7 union=8 -> 0.875 ; class1: tp=8 union=9 -> 8/9
+        expect = (7 / 8 + 8 / 9) / 2 * 100
+        assert res["mIoU"] == pytest.approx(expect, abs=1e-6)
+        assert res["pACC"] == pytest.approx(15 / 16 * 100, abs=1e-6)
+
+    def test_ignore_label(self):
+        from spacecraft_pose_estimation_tpu.data.coco_eval import (
+            evaluate_semantic_segmentation,
+        )
+
+        gt = np.zeros((4, 4), np.int64)
+        gt[0] = 255  # ignored row
+        pred = np.zeros((4, 4), np.int64)
+        pred[0] = 1  # wrong but ignored
+        res = evaluate_semantic_segmentation([pred], [gt], num_classes=2)
+        assert res["pACC"] == pytest.approx(100.0)
