@@ -67,9 +67,14 @@ uint32_t xxh32(const uint8_t* p, size_t len, uint32_t seed) {
   return h;
 }
 
-// Decompress one raw LZ4 block. Returns bytes written or -1 on error.
+// Decompress one raw LZ4 block. ``prefix_len`` is the number of
+// already-decompressed bytes immediately BEFORE ``dst`` that match
+// offsets may reach into (block-LINKED frames — the default mode of
+// standard lz4-frame encoders — chain their 64KB blocks this way; for
+// independent blocks pass 0). Returns bytes written, -1 if ``dst_cap``
+// is too small, or -2 on malformed input.
 int64_t block_decompress(const uint8_t* src, size_t src_len, uint8_t* dst,
-                         size_t dst_cap) {
+                         size_t dst_cap, size_t prefix_len) {
   const uint8_t* ip = src;
   const uint8_t* const iend = src + src_len;
   uint8_t* op = dst;
@@ -82,29 +87,29 @@ int64_t block_decompress(const uint8_t* src, size_t src_len, uint8_t* dst,
     if (lit_len == 15) {
       uint8_t s;
       do {
-        if (ip >= iend) return -1;
+        if (ip >= iend) return -2;
         s = *ip++;
         lit_len += s;
       } while (s == 255);
     }
-    if (static_cast<size_t>(iend - ip) < lit_len ||
-        static_cast<size_t>(oend - op) < lit_len)
-      return -1;
+    if (static_cast<size_t>(iend - ip) < lit_len) return -2;
+    if (static_cast<size_t>(oend - op) < lit_len) return -1;
     std::memcpy(op, ip, lit_len);
     ip += lit_len;
     op += lit_len;
     if (ip >= iend) break;  // last sequence is literals-only
 
     // match
-    if (iend - ip < 2) return -1;
+    if (iend - ip < 2) return -2;
     const size_t offset = read_le16(ip);
     ip += 2;
-    if (offset == 0 || offset > static_cast<size_t>(op - dst)) return -1;
+    if (offset == 0 || offset > static_cast<size_t>(op - dst) + prefix_len)
+      return -2;
     size_t match_len = (token & 0x0F);
     if (match_len == 15) {
       uint8_t s;
       do {
-        if (ip >= iend) return -1;
+        if (ip >= iend) return -2;
         s = *ip++;
         match_len += s;
       } while (s == 255);
@@ -206,7 +211,7 @@ extern "C" {
 // ---- raw blocks ----
 int64_t spe_lz4_block_decompress(const uint8_t* src, size_t src_len,
                                  uint8_t* dst, size_t dst_cap) {
-  return block_decompress(src, src_len, dst, dst_cap);
+  return block_decompress(src, src_len, dst, dst_cap, 0);
 }
 
 int64_t spe_lz4_block_compress(const uint8_t* src, size_t src_len,
@@ -217,8 +222,10 @@ int64_t spe_lz4_block_compress(const uint8_t* src, size_t src_len,
 // ---- LZ4 frame format (magic 0x184D2204) ----
 // Decompresses a whole frame. Skippable frames are skipped; block and
 // content checksums are ignored (xxhash not implemented — tolerated by
-// the format: checksums are verification-only). Returns bytes written
-// or -1 on malformed input / insufficient dst.
+// the format: checksums are verification-only). Handles both
+// block-independent and block-LINKED frames (matches may reach into
+// previously decompressed blocks of the same frame). Returns bytes
+// written, -1 if ``dst_cap`` is insufficient, or -2 on malformed input.
 int64_t spe_lz4_frame_decompress(const uint8_t* src, size_t src_len,
                                  uint8_t* dst, size_t dst_cap) {
   const uint8_t* ip = src;
@@ -229,14 +236,14 @@ int64_t spe_lz4_frame_decompress(const uint8_t* src, size_t src_len,
     const uint32_t magic = read_le32(ip);
     if ((magic & 0xFFFFFFF0u) == 0x184D2A50u) {  // skippable frame
       ip += 4;
-      if (ip + 4 > iend) return -1;
+      if (ip + 4 > iend) return -2;
       const uint32_t sz = read_le32(ip);
       ip += 4 + sz;
       continue;
     }
-    if (magic != kFrameMagic) return -1;
+    if (magic != kFrameMagic) return -2;
     ip += 4;
-    if (ip + 2 > iend) return -1;
+    if (ip + 2 > iend) return -2;
     const uint8_t flg = *ip++;
     ip++;  // BD byte (block max size) — we size from dst_cap instead
     const bool content_size = flg & 0x08;
@@ -246,24 +253,27 @@ int64_t spe_lz4_frame_decompress(const uint8_t* src, size_t src_len,
     if (content_size) ip += 8;
     if (dict_id) ip += 4;
     ip += 1;  // HC header checksum byte
-    if (ip > iend) return -1;
+    if (ip > iend) return -2;
+
+    uint8_t* const frame_dst = op;  // match window start for linked blocks
 
     // data blocks
     for (;;) {
-      if (ip + 4 > iend) return -1;
+      if (ip + 4 > iend) return -2;
       const uint32_t bsz_raw = read_le32(ip);
       ip += 4;
       if (bsz_raw == 0) break;  // EndMark
       const bool uncompressed = bsz_raw & 0x80000000u;
       const size_t bsz = bsz_raw & 0x7FFFFFFFu;
-      if (ip + bsz > iend) return -1;
+      if (ip + bsz > iend) return -2;
       if (uncompressed) {
         if (static_cast<size_t>(dst + dst_cap - op) < bsz) return -1;
         std::memcpy(op, ip, bsz);
         op += bsz;
       } else {
-        const int64_t n = block_decompress(ip, bsz, op, dst + dst_cap - op);
-        if (n < 0) return -1;
+        const int64_t n = block_decompress(ip, bsz, op, dst + dst_cap - op,
+                                           static_cast<size_t>(op - frame_dst));
+        if (n < 0) return n;
         op += n;
       }
       ip += bsz;
@@ -274,10 +284,14 @@ int64_t spe_lz4_frame_decompress(const uint8_t* src, size_t src_len,
   return op - dst;
 }
 
-// Compresses src into a single-block LZ4 frame (no checksums, no
-// content size). Returns frame length or -1 if dst too small.
+// Compresses src into an LZ4 frame (no checksums, no content size).
+// Inputs larger than the declared 4 MiB max block size are split into
+// multiple INDEPENDENT blocks (each chunk compressed stand-alone, so
+// the FLG block-independence bit stays truthful). Returns frame length
+// or -1 if dst too small.
 int64_t spe_lz4_frame_compress(const uint8_t* src, size_t src_len,
                                uint8_t* dst, size_t dst_cap) {
+  constexpr size_t kMaxBlock = 4u << 20;  // must match the BD byte below
   if (dst_cap < 15) return -1;
   uint8_t* op = dst;
   write_le32(op, kFrameMagic);
@@ -288,19 +302,27 @@ int64_t spe_lz4_frame_compress(const uint8_t* src, size_t src_len,
   *op++ = descriptor[0];
   *op++ = descriptor[1];
   *op++ = static_cast<uint8_t>(xxh32(descriptor, 2, 0) >> 8);  // HC byte
-  uint8_t* const blk_hdr = op;
-  op += 4;
-  int64_t n = block_compress(src, src_len, op, dst + dst_cap - op - 4);
-  if (n < 0 || static_cast<size_t>(n) >= src_len) {
-    // store uncompressed (also the incompressible-data path)
-    if (static_cast<size_t>(dst + dst_cap - op) < src_len + 4) return -1;
-    std::memcpy(op, src, src_len);
-    write_le32(blk_hdr, static_cast<uint32_t>(src_len) | 0x80000000u);
-    op += src_len;
-  } else {
-    write_le32(blk_hdr, static_cast<uint32_t>(n));
-    op += n;
-  }
+
+  size_t done = 0;
+  do {
+    const size_t chunk = src_len - done < kMaxBlock ? src_len - done : kMaxBlock;
+    if (static_cast<size_t>(dst + dst_cap - op) < 4) return -1;
+    uint8_t* const blk_hdr = op;
+    op += 4;
+    int64_t n = block_compress(src + done, chunk, op, dst + dst_cap - op - 4);
+    if (n < 0 || static_cast<size_t>(n) >= chunk) {
+      // store uncompressed (also the incompressible-data path)
+      if (static_cast<size_t>(dst + dst_cap - op) < chunk + 4) return -1;
+      std::memcpy(op, src + done, chunk);
+      write_le32(blk_hdr, static_cast<uint32_t>(chunk) | 0x80000000u);
+      op += chunk;
+    } else {
+      write_le32(blk_hdr, static_cast<uint32_t>(n));
+      op += n;
+    }
+    done += chunk;
+  } while (done < src_len);
+  if (static_cast<size_t>(dst + dst_cap - op) < 4) return -1;
   write_le32(op, 0);  // EndMark
   op += 4;
   return op - dst;

@@ -81,9 +81,11 @@ def lz4_frame_decompress(data: bytes, max_out: int | None = None) -> bytes:
         n = lib.spe_lz4_frame_decompress(src, len(data), dst, cap)
         if n >= 0:
             return bytes(dst[: int(n)])
-        if max_out is not None or cap > (1 << 31):
+        if n != -1:  # -2: malformed input (the C ABI distinguishes)
             raise ValueError("malformed LZ4 frame")
-        cap *= 4  # -1 can also mean insufficient dst; grow and retry
+        if max_out is not None or cap > (1 << 31):
+            raise ValueError("LZ4 frame output exceeds capacity bound")
+        cap *= 4  # -1 = insufficient dst; grow and retry
 
 
 def lz4_frame_compress(data: bytes) -> bytes:

@@ -50,6 +50,8 @@ def unpack_events(header: dict, payload: bytes, rotate180: bool = True):
     arr = np.frombuffer(payload, np.uint32).reshape(
         header["ecapacity"], header["esize"] // 4
     )
+    if arr.shape[0] == 0:  # empty polarity packet (ecapacity=0): skip
+        return None
     data, ts = arr[:, 0], arr[:, 1]
     pol = (data >> 1) & 0b1
     y = (data >> 2) & 0x7FFF

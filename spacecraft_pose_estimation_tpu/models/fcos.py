@@ -186,25 +186,32 @@ class FCOS(nn.Module):
                              * (tb_min / jnp.maximum(tb_max, 1e-6)), 0.0, 1.0)
                 )
                 # FCOS regression: GIoU on decoded boxes, weighted by the
-                # centerness target and normalized by its foreground sum
+                # centerness target. Return per-image SUMS — the batch
+                # totals are normalized below by the batch-level
+                # centerness/foreground sums (d2/AdelaiDet semantics:
+                # loss_denorm and num_pos are all-reduced across the
+                # whole batch, not per image).
                 reg = box_ops.giou_loss(bp, gt_box)
                 ctr_w = ctr_t * fg
-                reg_loss = jnp.sum(reg * ctr_w) / jnp.maximum(jnp.sum(ctr_w), 1e-6)
+                reg_sum = jnp.sum(reg * ctr_w)
                 ctr_loss = jnp.maximum(ct, 0) - ct * ctr_t + jnp.log1p(jnp.exp(-jnp.abs(ct)))
-                norm = jnp.maximum(jnp.sum(fg), 1.0)
                 return (
-                    cls_loss / norm,
-                    reg_loss,
-                    jnp.sum(ctr_loss * fg) / norm,
+                    cls_loss,
+                    reg_sum,
+                    jnp.sum(ctr_w),
+                    jnp.sum(ctr_loss * fg),
+                    jnp.sum(fg),
                 )
 
-            cls_l, reg_l, ctr_l = jax.vmap(one)(
+            cls_s, reg_s, ctrw_s, ctr_s, fg_s = jax.vmap(one)(
                 logits, boxes_pred, ctr, gt_boxes, gt_classes, gt_valid
             )
+            num_pos = jnp.maximum(jnp.sum(fg_s), 1.0)
+            loss_denorm = jnp.maximum(jnp.sum(ctrw_s), 1e-6)
             losses = {
-                "loss_cls": jnp.mean(cls_l),
-                "loss_box_reg": jnp.mean(reg_l),
-                "loss_centerness": jnp.mean(ctr_l),
+                "loss_cls": jnp.sum(cls_s) / num_pos,
+                "loss_box_reg": jnp.sum(reg_s) / loss_denorm,
+                "loss_centerness": jnp.sum(ctr_s) / num_pos,
             }
             losses["loss_total"] = sum(losses.values())
             return losses

@@ -172,3 +172,60 @@ class TestCLIsExecuted:
 
         img = cv2.imread(str(frames[0]))
         assert img.shape == (260, 346, 3)
+
+
+class TestLz4LinkedFrames:
+    """Block-LINKED frames (the default mode of standard lz4 encoders):
+    match offsets may reach into previously decompressed blocks."""
+
+    @staticmethod
+    def _linked_frame() -> bytes:
+        import struct
+
+        # FLG 0x40: version 01, block-independence OFF; BD 0x40: 64KB
+        hdr = struct.pack("<I", 0x184D2204) + b"\x40\x40\x00"
+        blk1 = struct.pack("<I", 8 | 0x80000000) + b"abcdefgh"  # stored
+        # compressed block: 0 literals, match offset 8 len 8 -> replays
+        # the PREVIOUS block's bytes (offset exceeds this block's output)
+        blk2_body = b"\x04\x08\x00"
+        blk2 = struct.pack("<I", len(blk2_body)) + blk2_body
+        return hdr + blk1 + blk2 + struct.pack("<I", 0)
+
+    def test_linked_match_across_blocks(self):
+        from spacecraft_pose_estimation_tpu.events import aedat4 as a4
+
+        assert a4.lz4_frame_decompress(self._linked_frame()) == b"abcdefgh" * 2
+
+    def test_malformed_rejected_without_growth(self):
+        """Malformed input must raise immediately (C ABI -2), not grow
+        the retry buffer toward 2 GiB."""
+        import struct
+
+        from spacecraft_pose_estimation_tpu.events import aedat4 as a4
+
+        hdr = struct.pack("<I", 0x184D2204) + b"\x60\x40\x00"
+        bad_body = b"\x04\x00\x00"  # match offset 0: invalid
+        frame = hdr + struct.pack("<I", len(bad_body)) + bad_body + struct.pack("<I", 0)
+        with pytest.raises(ValueError, match="malformed"):
+            a4.lz4_frame_decompress(frame)
+
+    def test_multi_block_large_input_roundtrip(self):
+        """>4MiB inputs must be split into multiple blocks (the declared
+        BD max block size) and still round-trip."""
+        import struct
+
+        from spacecraft_pose_estimation_tpu.events import aedat4 as a4
+
+        data = (b"0123456789abcdef" * 17) * 20000  # ~5.2 MiB compressible
+        assert len(data) > (4 << 20)
+        comp = a4.lz4_frame_compress(data)
+        # parse the block headers: must be >= 2 data blocks
+        pos, nblocks = 7, 0
+        while True:
+            (raw,) = struct.unpack_from("<I", comp, pos)
+            if raw == 0:
+                break
+            nblocks += 1
+            pos += 4 + (raw & 0x7FFFFFFF)
+        assert nblocks >= 2
+        assert a4.lz4_frame_decompress(comp) == data
