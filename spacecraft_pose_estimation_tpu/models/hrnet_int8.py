@@ -40,6 +40,10 @@ class _Handle(NamedTuple):
     value: Any  # int8 tensor (_Int8Ops) or None (_QuantizeOps)
     scale: Any  # f32 activation scale of `value`
     site: str
+    # activation layout: 'std', or the s2d cell packings 'even'/'odd'
+    # (ops/s2d.py — the 32ch 128^2 branch runs 2x2-cell-packed so its
+    # convs fill all 128 MXU lanes instead of 32)
+    layout: str = "std"
 
 
 def _upsample_i8(x, factor: int):
@@ -122,7 +126,7 @@ class _QuantizeOps:
         }
         return _Handle(None, s_out, name)
 
-    def upsample(self, h, factor):
+    def upsample(self, h, factor, like=None):
         return h
 
     def final(self, name, h):
@@ -141,18 +145,21 @@ class _QuantizeOps:
 class _Int8Ops:
     """Walk in 'execute' mode over the quantized tree."""
 
-    def __init__(self, q, x, in_scale, fused_blocks: bool = False):
+    def __init__(self, q, x, in_scale, fused_blocks: bool = False,
+                 s2d: bool | None = None):
         self.q = q
         self.x = x
         self.in_scale = in_scale
         self.fused_blocks = fused_blocks
+        # s2d branch0: auto-on when the packed weights are present
+        self.s2d = bool(q.get("convs_s2d")) if s2d is None else s2d
 
     def branch_chain(self, prefix, branch, nblocks, h):
         """Whole-branch BasicBlock chain as ONE Pallas kernel
         (ops/pallas_blocks.py): activation tile resident in VMEM across
         2*nblocks convs + nblocks residual adds — the per-op XLA walk is
         HBM-roofline-bound (see module docstring)."""
-        if not self.fused_blocks:
+        if not self.fused_blocks or h.layout != "std":
             return None
         from ..ops.pallas_blocks import (
             chain_params_from_q,
@@ -215,7 +222,7 @@ class _Int8Ops:
 
         if os.environ.get("_SPE_FUSE_EXCHANGE") != "1":
             return None
-        if not self.fused_blocks:
+        if not self.fused_blocks or any(y.layout != "std" for y in ys):
             return None
         from ..ops.pallas_blocks import fused_up_exchange
 
@@ -255,6 +262,10 @@ class _Int8Ops:
         )
 
     def convbn(self, name, h, stride, relu):
+        if self.s2d:
+            c2 = self.q["convs_s2d"].get(name)
+            if c2 is not None:
+                return self._convbn_s2d(name, h, relu, c2)
         c = self.q["convs"][name]
         k = c["w8"].shape[0]
         y = jax.lax.conv_general_dilated(
@@ -272,19 +283,66 @@ class _Int8Ops:
             jnp.clip(jnp.round(f), -127, 127).astype(jnp.int8), None, name
         )
 
+    def _convbn_s2d(self, name, h, relu, c2):
+        """Space-to-depth-packed conv sites (ops/s2d.py): branch0 runs
+        with 2x2 cells packed into channels so every conv is 128 lanes
+        wide (bit-exact vs the std int8 walk)."""
+        from ..ops import s2d as s2d_ops
+
+        kind = c2["kind"]
+        if kind == "entry":
+            assert h.layout == "std", h
+            y = s2d_ops.conv_std_to_even(h.value, c2["w8p"])
+            out_layout = "even"
+        elif kind == "alt" and h.layout == "even":
+            y = s2d_ops.conv_even_to_odd(h.value, c2["w8p"])
+            out_layout = "odd"
+        elif kind == "alt":
+            assert h.layout == "odd", h
+            y = s2d_ops.conv_odd_to_even(h.value, c2["w8p"])
+            out_layout = "even"
+        else:  # down: packed in, std half-res out
+            assert h.layout == "even", h
+            y = s2d_ops.conv_even_down(h.value, c2["w8p"])
+            out_layout = "std"
+        f = y.astype(jnp.float32) * c2["m"] + c2["b"]
+        if relu:
+            f = jnp.maximum(f, 0)
+        q8 = jnp.clip(jnp.round(f), -127, 127).astype(jnp.int8)
+        if out_layout == "odd":
+            _, hp, wp, c4 = q8.shape
+            mask = s2d_ops.odd_zero_mask(hp, wp, c4 // 4, dtype=jnp.bool_)
+            q8 = jnp.where(mask, q8, jnp.int8(0))
+        return _Handle(q8, None, name, out_layout)
+
     def add(self, name, hs, relu):
         coeffs = self.q["adds"][name]["coeffs"]
         f = sum(h.value.astype(jnp.float32) * coeffs[i] for i, h in enumerate(hs))
         if relu:
             f = jnp.maximum(f, 0)
         return _Handle(
-            jnp.clip(jnp.round(f), -127, 127).astype(jnp.int8), None, name
+            jnp.clip(jnp.round(f), -127, 127).astype(jnp.int8), None, name,
+            hs[0].layout,
         )
 
-    def upsample(self, h, factor):
+    def upsample(self, h, factor, like=None):
+        if like is not None and like.layout == "even":
+            from ..ops import s2d as s2d_ops
+
+            return _Handle(
+                s2d_ops.upsample_std_to_even(h.value, factor), None, h.site, "even"
+            )
         return _Handle(_upsample_i8(h.value, factor), None, h.site)
 
     def final(self, name, h):
+        if h.layout == "even":
+            from ..ops import s2d as s2d_ops
+
+            c = self.q["final_s2d"]
+            y = s2d_ops.conv_even_1x1(h.value, c["w8p"])
+            f = y.astype(jnp.float32) * c["m"] + c["b"]
+            return s2d_ops.unpack_even(f)
+        assert h.layout == "std"
         c = self.q["final"]
         y = jax.lax.conv_general_dilated(
             h.value,
@@ -383,7 +441,7 @@ def _forward(ops, cfg: HRNetConfig, x=None):
                         continue
                     if j > i:
                         y = ops.convbn(f"{prefix}/fuse/up{i}_{j}", ys[j], 1, False)
-                        y = ops.upsample(y, 2 ** (j - i))
+                        y = ops.upsample(y, 2 ** (j - i), like=ys[i])
                     else:
                         y = downs[ai]
                         ai += 1
@@ -391,6 +449,72 @@ def _forward(ops, cfg: HRNetConfig, x=None):
                 outs.append(ops.add(f"{prefix}/fuse/out{i}", acc, True))
             xs = outs
     return ops.final("final_layer", xs[0])
+
+
+def _s2d_sites(cfg: HRNetConfig) -> dict[str, str]:
+    """name -> kind of every conv site the s2d-packed branch0 touches.
+
+    Kinds: 'entry' (std input, even-packed output, k=4 s2),
+    'alt' (the alternating even<->odd 2x2 convs inside BasicBlocks),
+    'down' (even-packed input, std half-res output).
+    Must mirror the structure of :func:`_forward` exactly.
+    """
+    sites: dict[str, str] = {"transition1/adapt0": "entry"}
+    specs = (cfg.stage2, cfg.stage3, cfg.stage4)
+    for si, spec in enumerate(specs):
+        last_stage = si == 2
+        for m in range(spec.num_modules):
+            prefix = f"stage{si + 2}_m{m}"
+            for k in range(spec.num_blocks[0]):
+                sites[f"{prefix}/branch0/block{k}/conv1"] = "alt"
+                sites[f"{prefix}/branch0/block{k}/conv2"] = "alt"
+            multi = not (last_stage and m == spec.num_modules - 1)
+            n_br = len(spec.num_channels)
+            if n_br > 1:
+                out_n = n_br if multi else 1
+                for i in range(1, out_n):
+                    sites[f"{prefix}/fuse/down{i}_0_0"] = "down"
+    return sites
+
+
+def s2d_pack_quantized(q: dict, cfg: HRNetConfig) -> dict:
+    """Add packed-weight twins for the branch0 sites (ops/s2d.py weight
+    scatters — the packed convs are bit-exact vs the per-op int8 walk).
+    Host-side numpy; idempotent."""
+    from ..ops import s2d as s2d_ops
+
+    if cfg.head != "classic":
+        raise NotImplementedError("s2d packing covers the classic head only")
+    packed: dict = {}
+    for name, kind in _s2d_sites(cfg).items():
+        c = q["convs"].get(name)
+        if c is None:
+            continue
+        w8 = np.asarray(c["w8"])
+        if kind == "entry":
+            wp = s2d_ops.w3_pack_from_std(w8)
+        elif kind == "alt":
+            wp = s2d_ops.w3_pack_alt(w8)
+        else:  # down
+            wp = s2d_ops.w3_pack_down(w8)
+        ent = {"kind": kind, "w8p": jnp.asarray(wp)}
+        if kind in ("entry", "alt"):  # packed output: tile requant vectors
+            ent["m"] = jnp.asarray(s2d_ops.tile_vec(np.asarray(c["m"])), jnp.float32)
+            ent["b"] = jnp.asarray(s2d_ops.tile_vec(np.asarray(c["b"])), jnp.float32)
+        else:
+            ent["m"], ent["b"] = c["m"], c["b"]
+        packed[name] = ent
+    fin = q.get("final")
+    if fin:
+        packed_final = {
+            "w8p": jnp.asarray(s2d_ops.w1_pack(np.asarray(fin["w8"]))),
+            "m": jnp.asarray(s2d_ops.tile_vec(np.asarray(fin["m"])), jnp.float32),
+            "b": jnp.asarray(s2d_ops.tile_vec(np.asarray(fin["b"])), jnp.float32),
+        }
+        q = dict(q)
+        q["final_s2d"] = packed_final
+    q["convs_s2d"] = packed
+    return q
 
 
 def _collect_scales(model: HRNet, variables, calib_x) -> dict[str, float]:
@@ -435,9 +559,12 @@ def _collect_scales(model: HRNet, variables, calib_x) -> dict[str, float]:
     return scales
 
 
-def quantize_hrnet(model: HRNet, variables, calib_x) -> dict:
+def quantize_hrnet(model: HRNet, variables, calib_x, s2d: bool = True) -> dict:
     """Calibrate + quantize. Returns a pytree of int8 kernels and f32
-    requant vectors consumable by :func:`hrnet_int8_apply`."""
+    requant vectors consumable by :func:`hrnet_int8_apply`.
+
+    ``s2d``: also emit the space-to-depth packed twins for the high-res
+    branch (bit-exact, ~2x faster on TPU — ops/s2d.py)."""
     if model.config.head != "classic":
         raise NotImplementedError("int8 path covers the classic head only")
     scales = _collect_scales(model, variables, calib_x)
@@ -446,25 +573,31 @@ def quantize_hrnet(model: HRNet, variables, calib_x) -> dict:
     ops = _QuantizeOps(params, stats, scales)
     _forward(ops, model.config)
     ops.q["in_scale"] = jnp.float32(scales["input"])
-    return ops.q
+    q = ops.q
+    if s2d:
+        q = s2d_pack_quantized(q, model.config)
+    return q
 
 
 def hrnet_int8_apply(
-    cfg: HRNetConfig, q: dict, x, fused_blocks: bool | None = None
+    cfg: HRNetConfig, q: dict, x, fused_blocks: bool | None = None,
+    s2d: bool | None = None,
 ) -> jnp.ndarray:
     """int8 forward. ``x``: (B, H, W, 3) normalized f32 (same contract as
     the bf16 model). Returns f32 heatmaps (B, H/4, W/4, J).
 
     fused_blocks: run each module-branch's BasicBlock chain as one
     Pallas kernel; default = on when the first device is a TPU (the
-    interpreter fallback is correct but slow on CPU)."""
+    interpreter fallback is correct but slow on CPU).
+    s2d: run branch0 space-to-depth packed (default: auto — on when the
+    q tree carries packed weights, see quantize_hrnet)."""
     if fused_blocks is None:
         # default OFF: the per-op XLA walk measures 1332 fps e2e vs 436
         # with the fused chains — XLA's int8 conv codegen beats the
         # VMEM-constrained Pallas formulation (see DEVNOTES round 2);
         # the kernels remain available for experimentation.
         fused_blocks = False
-    ops = _Int8Ops(q, x, q["in_scale"], fused_blocks=fused_blocks)
+    ops = _Int8Ops(q, x, q["in_scale"], fused_blocks=fused_blocks, s2d=s2d)
     return _forward(ops, cfg, x)
 
 
@@ -473,10 +606,14 @@ class HRNetInt8:
     ``apply(qtree, x, train=False)`` — so ``make_pose_pipeline`` and the
     landmark stage work unchanged with the quantized tree as 'variables'."""
 
-    def __init__(self, config: HRNetConfig, fused_blocks: bool | None = None):
+    def __init__(self, config: HRNetConfig, fused_blocks: bool | None = None,
+                 s2d: bool | None = None):
         self.config = config
         self.fused_blocks = fused_blocks
+        self.s2d = s2d
 
     def apply(self, q, x, train: bool = False):
         del train  # inference-only
-        return hrnet_int8_apply(self.config, q, x, fused_blocks=self.fused_blocks)
+        return hrnet_int8_apply(
+            self.config, q, x, fused_blocks=self.fused_blocks, s2d=self.s2d
+        )

@@ -1,0 +1,195 @@
+"""Windowed serving crop: per-frame DMA window + windowed MXU warp.
+
+The full-frame separable crop (ops/warp.crop_and_resize_mxu) contracts
+dense (out, W) / (out, H) tap matrices against the WHOLE 1920x1200
+frame: ~4.5 GMAC + a 27.6 MB frame read per image (~10 ms of the 96 ms
+serving budget at b128). But the padded crop box is typically <=800 px —
+the warp only ever needs a window.
+
+This kernel DMAs each frame's (window_h, window_w) uint8 region (origin
+from the box, scalar-prefetched, aligned down to the Mosaic tiling:
+rows 32, cols 128 px) and widens it to the compute dtype in VMEM; the
+separable interpolation then contracts window-local tap matrices (built
+against the SAME rounded origins, so the rounding cancels exactly).
+Semantics == crop_and_resize_mxu whenever the padded box fits the
+window's guaranteed coverage; `clamp_scales_to_window` enforces that
+bound by tightening oversized boxes (graceful degradation — a slightly
+tighter crop, never garbage).
+
+Frames layout: (B, H, W*3) uint8 — channels flattened into the minor
+dim so lanes are wide (a (.., 3)-minor VMEM buffer would pad 3 -> 128
+lanes, 42x waste).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # TPU-only import guard
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pltpu = None
+
+from . import geometry
+
+Array = jax.Array
+
+_ALIGN_Y = 32  # uint8 sublane tile
+_ALIGN_X = 128  # lane tile, in PIXELS (x3 bytes = 384, a lane multiple)
+
+
+def window_coverage(window: tuple[int, int]) -> tuple[int, int]:
+    """Usable (h, w) coverage of a DMA window after alignment slack and
+    the bilinear +1 tap."""
+    wh, ww = window
+    return wh - _ALIGN_Y - 1, ww - _ALIGN_X - 1
+
+
+def _effective_window(h: int, w: int, window: tuple[int, int]) -> tuple[int, int]:
+    """Enlarge the requested window so the origin clip bounds (h-wh,
+    w-ww) are themselves alignment multiples — otherwise rounding a
+    clipped origin down would pull the window off the bottom/right frame
+    edge and lose coverage there."""
+    wh = min(window[0], h)
+    ww = min(window[1], w)
+    wh += (h - wh) % _ALIGN_Y
+    ww += (w - ww) % _ALIGN_X
+    return wh, ww
+
+
+def clamp_scales_to_window(
+    scales: Array, out_size: tuple[int, int], window: tuple[int, int]
+) -> Array:
+    """Shrink (B, 2) scales so the square src crop (side scale[...,0]*200,
+    aspect dst_h/dst_w) fits the window's guaranteed coverage."""
+    cov_h, cov_w = window_coverage(window)
+    out_w, out_h = out_size
+    # src extent: x = s0*200, y = s0*200*(out_h/out_w)
+    smax_x = cov_w / geometry.PIXEL_STD
+    smax_y = cov_h / geometry.PIXEL_STD * (out_w / max(out_h, 1))
+    factor = jnp.minimum(1.0, jnp.minimum(smax_x, smax_y) / jnp.maximum(scales[:, :1], 1e-6))
+    return scales * factor
+
+
+def _window_kernel(oy_ref, ox3_ref, frames_ref, out_ref, patch, sem, *, hc, ww3):
+    b = pl.program_id(0)
+    ci = pl.program_id(1)
+    oy = pl.multiple_of(oy_ref[b] + ci * hc, _ALIGN_Y)
+    ox3 = pl.multiple_of(ox3_ref[b], _ALIGN_X * 3)
+    cp = pltpu.make_async_copy(
+        frames_ref.at[b, pl.ds(oy, hc), pl.ds(ox3, ww3)], patch, sem
+    )
+    cp.start()
+    cp.wait()
+    out_ref[0] = patch[:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "out_dtype", "interpret"))
+def extract_windows(
+    frames: Array,  # (B, H, W, 3) uint8
+    oy: Array,  # (B,) int32, 32-aligned row origins
+    ox: Array,  # (B,) int32, 128-aligned col origins (pixels)
+    window: tuple[int, int],
+    out_dtype=jnp.bfloat16,
+    interpret: bool | None = None,
+) -> Array:
+    """DMA per-frame windows; returns (B, wh, ww*3) in ``out_dtype``."""
+    b, h, w, _ = frames.shape
+    wh, ww = _effective_window(h, w, window)
+    ww3 = ww * 3
+    frames2d = frames.reshape(b, h, w * 3)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    # row chunking keeps the double-buffered out blocks inside VMEM
+    hc = wh
+    while hc > 256 and hc % 2 == 0:
+        hc //= 2
+    if hc % _ALIGN_Y:  # odd wh etc.: fall back to one whole-window chunk
+        hc = wh
+    n_chunks = wh // hc
+    kernel = functools.partial(_window_kernel, hc=hc, ww3=ww3)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, n_chunks),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, hc, ww3), lambda i, j, oy, ox: (i, j, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((hc, ww3), frames.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, wh, ww3), out_dtype),
+        interpret=interpret,
+    )(oy, ox * 3, frames2d)
+
+
+def _window_origins(centers, scales, h, w, window):
+    """Aligned-down window origins covering the square src crop."""
+    wh, ww = window
+    side = scales[:, 0] * geometry.PIXEL_STD
+    x0 = jnp.floor(centers[:, 0] - side * 0.5).astype(jnp.int32) - 1
+    y0 = jnp.floor(centers[:, 1] - side * 0.5).astype(jnp.int32) - 1
+    ox = jnp.clip(x0, 0, max(w - ww, 0))
+    ox = (ox // _ALIGN_X) * _ALIGN_X
+    oy = jnp.clip(y0, 0, max(h - wh, 0))
+    oy = (oy // _ALIGN_Y) * _ALIGN_Y
+    return oy, ox
+
+
+def _interp_matrix_local(src_coords, origin, src_limit, win, dtype):
+    """Window-local bilinear taps; border semantics vs the FULL frame
+    (same math as warp._interp_matrix, shifted by the window origin)."""
+    local = src_coords - origin.astype(jnp.float32)
+    k = jax.lax.broadcasted_iota(jnp.float32, (src_coords.shape[0], win), 1)
+    wgt = jnp.maximum(0.0, 1.0 - jnp.abs(local[:, None] - k))
+    inb = (src_coords > -1.0) & (src_coords < src_limit)
+    return (wgt * inb[:, None]).astype(dtype)
+
+
+def crop_and_resize_window(
+    frames: Array,  # (B, H, W, 3) uint8 (or any int/float in [0,255])
+    centers: Array,  # (B, 2)
+    scales: Array,  # (B, 2) — pre-clamped via clamp_scales_to_window
+    out_size: tuple[int, int],
+    window: tuple[int, int],
+    compute_dtype=jnp.bfloat16,
+    interpret: bool | None = None,
+) -> Array:
+    """Batched axis-aligned crop+resize through per-frame DMA windows.
+
+    Returns (B, out_h, out_w, 3) float32. Requires the (clamped) padded
+    box to fit `window_coverage(window)`; callers clamp via
+    :func:`clamp_scales_to_window`.
+    """
+    b, h, w, _ = frames.shape
+    out_w, out_h = int(out_size[0]), int(out_size[1])
+    wh, ww = _effective_window(h, w, window)
+    if frames.dtype != jnp.uint8:
+        frames = jnp.clip(frames, 0, 255).astype(jnp.uint8)
+    oy, ox = _window_origins(centers, scales, h, w, (wh, ww))
+    wins = extract_windows(frames, oy, ox, (wh, ww), out_dtype=compute_dtype,
+                           interpret=interpret)
+    wins = wins.reshape(b, wh, ww, 3)
+
+    def taps(center, scale, oy_i, ox_i):
+        M_inv = geometry.crop_affine_matrix(center, scale, 0.0, out_size, inv=True)
+        xs = M_inv[0, 0] * jnp.arange(out_w, dtype=jnp.float32) + M_inv[0, 2]
+        ys = M_inv[1, 1] * jnp.arange(out_h, dtype=jnp.float32) + M_inv[1, 2]
+        Wx = _interp_matrix_local(xs, ox_i, w, ww, compute_dtype)
+        Wy = _interp_matrix_local(ys, oy_i, h, wh, compute_dtype)
+        return Wx, Wy
+
+    Wx, Wy = jax.vmap(taps)(centers, scales, oy, ox)
+    # contract H then W (all-MXU, f32 accumulation)
+    tmp = jnp.einsum("bhwc,boh->bowc", wins, Wy, preferred_element_type=jnp.float32)
+    return jnp.einsum(
+        "bowc,bpw->bopc", tmp.astype(compute_dtype), Wx,
+        preferred_element_type=jnp.float32,
+    )

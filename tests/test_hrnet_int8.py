@@ -157,3 +157,27 @@ def test_fused_blocks_match_per_op_walk(tiny_setup):
     assert out.shape == ref.shape
     # identical int8 dataflow; only f32 rounding ties may differ
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=1e-3)
+
+
+@pytest.mark.smoke
+def test_s2d_walk_bit_exact(tiny_setup):
+    """The space-to-depth packed branch0 (ops/s2d.py) is a pure weight
+    re-scatter: its int8 walk must equal the standard walk EXACTLY."""
+    model, variables, q, rng = tiny_setup
+    assert q.get("convs_s2d"), "packed twins missing from quantize_hrnet"
+    x = jnp.asarray(rng.normal(0, 1.2, (2, 64, 64, 3)), jnp.float32)
+    std = np.asarray(hrnet_int8_apply(model.config, q, x, s2d=False))
+    packed = np.asarray(hrnet_int8_apply(model.config, q, x, s2d=True))
+    np.testing.assert_array_equal(packed, std)
+
+
+def test_s2d_sites_cover_branch0(tiny_setup):
+    from spacecraft_pose_estimation_tpu.models.hrnet_int8 import _s2d_sites
+
+    model, variables, q, _ = tiny_setup
+    sites = _s2d_sites(model.config)
+    assert sites["transition1/adapt0"] == "entry"
+    # every branch0 block conv of every module is covered
+    for name in q["convs"]:
+        if "/branch0/" in name and name.endswith(("conv1", "conv2")):
+            assert name in sites, name

@@ -135,3 +135,30 @@ class TestMultichipDryrun:
 
         fn, args = ge.entry()
         jax.eval_shape(fn, *args)
+
+
+class TestWindowedCropPipeline:
+    def test_windowed_stage_matches_fullframe(self):
+        """crop_window serving path == full-frame path when the padded
+        box fits the window coverage (exact f32 taps both sides)."""
+        model = HRNet(config=dataclasses.replace(HRNET_TINY, num_joints=6))
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False)
+        rng = np.random.default_rng(3)
+        frames = jnp.asarray(rng.integers(0, 255, (2, 160, 256, 3)), jnp.uint8)
+        boxes = jnp.asarray([[60.0, 40.0, 50.0, 40.0], [120.0, 70.0, 60.0, 48.0]])
+        base = PipelineConfig(image_size=(64, 64), solver="none", warp_dtype="float32")
+        windowed = dataclasses.replace(base, crop_window=(128, 192))
+        out_full = jax.jit(make_landmark_stage(model, base))(
+            variables, frames.astype(jnp.float32), boxes
+        )
+        out_win = jax.jit(make_landmark_stage(model, windowed))(
+            variables, frames, boxes
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_win["heatmaps"]), np.asarray(out_full["heatmaps"]),
+            atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_win["keypoints"]), np.asarray(out_full["keypoints"]),
+            atol=1e-2,
+        )
