@@ -54,14 +54,19 @@ q = hi.quantize_hrnet(model, variables, calib, s2d=True)
 cfg = model.config
 x = jnp.asarray(rng.normal(size=(B, 512, 512, 3)), jnp.float32)
 
-for s2d in (False, True):
-    def body(q, x, c, s2d=s2d):
+for s2d, strips in ((False, False), (True, False), (False, True), (True, True)):
+    def body(q, x, c, s2d=s2d, strips=strips):
         xi = x + c * 1e-20
-        hm = hi.hrnet_int8_apply(cfg, q, xi, s2d=s2d)
+        hm = hi.hrnet_int8_apply(cfg, q, xi, s2d=s2d, layer1_strips=strips)
         return jnp.sum(hm) * 1e-9
 
-    t = marginal(scanner(body), q, x)
-    print(f"int8 model s2d={s2d}: {t*1e3:8.2f} ms  ({B/t:7.1f} fps)", flush=True)
+    try:
+        t = marginal(scanner(body), q, x)
+        print(f"int8 model s2d={s2d} l1strips={strips}: {t*1e3:8.2f} ms"
+              f"  ({B/t:7.1f} fps)", flush=True)
+    except Exception as e:
+        print(f"int8 model s2d={s2d} l1strips={strips}: FAILED "
+              f"{type(e).__name__}: {str(e)[:300]}", flush=True)
 
 # -- crop comparison --------------------------------------------------
 from spacecraft_pose_estimation_tpu.ops import warp, pallas_crop, geometry

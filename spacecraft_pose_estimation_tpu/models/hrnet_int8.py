@@ -146,13 +146,18 @@ class _Int8Ops:
     """Walk in 'execute' mode over the quantized tree."""
 
     def __init__(self, q, x, in_scale, fused_blocks: bool = False,
-                 s2d: bool | None = None):
+                 s2d: bool | None = None, layer1_strips: bool | None = None):
         self.q = q
         self.x = x
         self.in_scale = in_scale
         self.fused_blocks = fused_blocks
         # s2d branch0: auto-on when the packed weights are present
         self.s2d = bool(q.get("convs_s2d")) if s2d is None else s2d
+        # strip-mined fused layer1 (the ~16 ms/b128 HBM item): on by
+        # default on TPU; interpret-mode fallback is correct but slow
+        if layer1_strips is None:
+            layer1_strips = jax.devices()[0].platform == "tpu"
+        self.layer1_strips = layer1_strips
 
     def branch_chain(self, prefix, branch, nblocks, h):
         """Whole-branch BasicBlock chain as ONE Pallas kernel
@@ -177,6 +182,25 @@ class _Int8Ops:
         """layer1's Bottleneck x4 as one VMEM-resident Pallas kernel —
         the largest single IO item in the per-op roofline (~16 ms at
         b128; see ops/pallas_blocks.fused_bottleneck_chain)."""
+        if self.layer1_strips and h.layout == "std":
+            from ..ops.pallas_blocks import (
+                bottleneck_params_from_q,
+                fused_bottleneck_chain_strips,
+            )
+
+            p = bottleneck_params_from_q(self.q, nblocks)
+            if p is not None and h.value.shape[1] % 32 == 0:
+                out = fused_bottleneck_chain_strips(
+                    h.value,
+                    p["w1"], p["m1"], p["b1"],
+                    p["w2"], p["m2"], p["b2"],
+                    p["w3"], p["m3"], p["b3"],
+                    p["wd"], p["md"], p["bd"],
+                    p["coeffs"],
+                    nblocks,
+                    strip=32,
+                )
+                return _Handle(out, None, "layer1/strips")
         if not self.fused_blocks:
             return None
         from ..ops.pallas_blocks import (
@@ -581,7 +605,7 @@ def quantize_hrnet(model: HRNet, variables, calib_x, s2d: bool = True) -> dict:
 
 def hrnet_int8_apply(
     cfg: HRNetConfig, q: dict, x, fused_blocks: bool | None = None,
-    s2d: bool | None = None,
+    s2d: bool | None = None, layer1_strips: bool | None = None,
 ) -> jnp.ndarray:
     """int8 forward. ``x``: (B, H, W, 3) normalized f32 (same contract as
     the bf16 model). Returns f32 heatmaps (B, H/4, W/4, J).
@@ -597,7 +621,8 @@ def hrnet_int8_apply(
         # VMEM-constrained Pallas formulation (see DEVNOTES round 2);
         # the kernels remain available for experimentation.
         fused_blocks = False
-    ops = _Int8Ops(q, x, q["in_scale"], fused_blocks=fused_blocks, s2d=s2d)
+    ops = _Int8Ops(q, x, q["in_scale"], fused_blocks=fused_blocks, s2d=s2d,
+                   layer1_strips=layer1_strips)
     return _forward(ops, cfg, x)
 
 
@@ -607,13 +632,15 @@ class HRNetInt8:
     landmark stage work unchanged with the quantized tree as 'variables'."""
 
     def __init__(self, config: HRNetConfig, fused_blocks: bool | None = None,
-                 s2d: bool | None = None):
+                 s2d: bool | None = None, layer1_strips: bool | None = None):
         self.config = config
         self.fused_blocks = fused_blocks
         self.s2d = s2d
+        self.layer1_strips = layer1_strips
 
     def apply(self, q, x, train: bool = False):
         del train  # inference-only
         return hrnet_int8_apply(
-            self.config, q, x, fused_blocks=self.fused_blocks, s2d=self.s2d
+            self.config, q, x, fused_blocks=self.fused_blocks, s2d=self.s2d,
+            layer1_strips=self.layer1_strips,
         )

@@ -284,6 +284,122 @@ def fused_bottleneck_chain(
     )(x, w1, m1, b1, w2, m2, b2, w3, m3, b3, wd, md, bd, coeffs)
 
 
+def _bottleneck_strip_kernel(
+    x_ref,                        # (B, H+2*halo, W, Cin0) int8 in HBM (ANY)
+    w1_ref, m1_ref, b1_ref,
+    w2_ref, m2_ref, b2_ref,
+    w3_ref, m3_ref, b3_ref,
+    wd_ref, md_ref, bd_ref,
+    coef_ref,
+    out_ref,                      # block (1, strip, W, Cout)
+    x0s_ref,                      # (rows, W, Cin0) int8 scratch
+    pad_ref,                      # (rows+2, W+2, Cm) int8 scratch
+    x2s_ref,                      # (rows, W, Cm) int8 scratch
+    xss_ref,                      # (rows, W, Cout) int8 scratch
+    sem,
+    *, nblocks, strip, halo, wdt, cin0, cm, cout,
+):
+    """Strip-mined layer1 chain: one (strip+2*halo)-row slab per grid
+    step. Row validity shrinks by 1 per 3x3 conv (halo = nblocks), so
+    rows [halo, halo+strip) of the final activation are exact; edge rows
+    beyond the slab read the caller's zero padding, matching the conv
+    zero-pad semantics at true image boundaries."""
+    b = pl.program_id(0)
+    si = pl.program_id(1)
+    rows = strip + 2 * halo
+    cp = pltpu.make_async_copy(
+        x_ref.at[b, pl.ds(si * strip, rows), :, :], x0s_ref, sem
+    )
+    cp.start()
+    cp.wait()
+    pad_ref[...] = jnp.zeros((rows + 2, wdt + 2, cm), jnp.int8)
+
+    for blk in range(nblocks):
+        kin = cin0 if blk == 0 else cout
+        src = (x0s_ref if blk == 0 else xss_ref)[...].reshape(
+            rows * wdt, kin
+        )
+        f1 = _dot_i8(src, w1_ref[blk, :kin, :]).astype(jnp.float32)
+        pad_ref[1 : rows + 1, 1 : wdt + 1, :] = _requant(
+            jnp.maximum(f1 * m1_ref[blk] + b1_ref[blk], 0.0)
+        ).reshape(rows, wdt, cm)
+        y2 = _conv3x3_rows(pad_ref, w2_ref[blk], 0, rows, wdt, cm)
+        x2s_ref[...] = _requant(
+            jnp.maximum(y2.astype(jnp.float32) * m2_ref[blk] + b2_ref[blk], 0.0)
+        ).reshape(rows, wdt, cm)
+        f3 = _dot_i8(x2s_ref[...].reshape(rows * wdt, cm), w3_ref[blk]).astype(
+            jnp.float32
+        )
+        x3 = _requant(f3 * m3_ref[blk] + b3_ref[blk])
+        if blk == 0:
+            fr = _dot_i8(
+                x0s_ref[...].reshape(rows * wdt, cin0), wd_ref[...]
+            ).astype(jnp.float32)
+            r = _requant(fr * md_ref[...] + bd_ref[...])
+        else:
+            r = xss_ref[...].reshape(rows * wdt, cout)
+        f = x3.astype(jnp.float32) * coef_ref[blk, 0] + r.astype(
+            jnp.float32
+        ) * coef_ref[blk, 1]
+        xss_ref[...] = _requant(jnp.maximum(f, 0.0)).reshape(rows, wdt, cout)
+    out_ref[0] = xss_ref[halo : halo + strip, :, :]
+
+
+@functools.partial(jax.jit, static_argnames=("nblocks", "strip", "interpret"))
+def fused_bottleneck_chain_strips(
+    x: Array,          # (B, H, W, Cin0) int8
+    w1: Array, m1: Array, b1: Array,
+    w2: Array, m2: Array, b2: Array,
+    w3: Array, m3: Array, b3: Array,
+    wd: Array, md: Array, bd: Array,
+    coeffs: Array,
+    nblocks: int,
+    strip: int = 32,
+    interpret: bool | None = None,
+) -> Array:
+    """Strip-mined fused layer1 (see _bottleneck_strip_kernel). Unlike
+    `fused_bottleneck_chain` (whole image resident, 20.2 MB scoped at
+    128^2x256 — over the 16 MB VMEM budget), strips keep scoped VMEM at
+    ~6 MB for any resolution, at the cost of 2*halo/strip redundant conv
+    rows (25% at strip=32, halo=4)."""
+    b, h, wdt, cin0 = x.shape
+    cm = w2.shape[-1]
+    cout = w3.shape[-1]
+    halo = nblocks  # one row of validity per 3x3 conv
+    assert h % strip == 0, (h, strip)
+    xp = jnp.pad(x, ((0, 0), (halo, halo), (0, 0), (0, 0)))
+    rows = strip + 2 * halo
+    on_tpu = jax.devices()[0].platform == "tpu"
+    kernel = functools.partial(
+        _bottleneck_strip_kernel,
+        nblocks=nblocks, strip=strip, halo=halo, wdt=wdt, cin0=cin0,
+        cm=cm, cout=cout,
+    )
+    full = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h // strip),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            full(w1), full(m1), full(b1),
+            full(w2), full(m2), full(b2),
+            full(w3), full(m3), full(b3),
+            full(wd), full(md), full(bd),
+            full(coeffs),
+        ],
+        out_specs=pl.BlockSpec((1, strip, wdt, cout), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, wdt, cout), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((rows, wdt, cin0), jnp.int8),
+            pltpu.VMEM((rows + 2, wdt + 2, cm), jnp.int8),
+            pltpu.VMEM((rows, wdt, cm), jnp.int8),
+            pltpu.VMEM((rows, wdt, cout), jnp.int8),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=not on_tpu if interpret is None else interpret,
+    )(xp, w1, m1, b1, w2, m2, b2, w3, m3, b3, wd, md, bd, coeffs)
+
+
 def bottleneck_params_from_q(q: dict, nblocks: int):
     """Pack layer1's quantized sites for `fused_bottleneck_chain`.
 

@@ -189,6 +189,20 @@ class TestFusedBottleneckChain:
             np.asarray(out, np.int32), np.asarray(ref, np.int32), atol=1
         )
 
+        # the strip-mined variant (halo-loaded slabs) must match too,
+        # including across strip boundaries
+        from spacecraft_pose_estimation_tpu.ops.pallas_blocks import (
+            fused_bottleneck_chain_strips,
+        )
+
+        out_s = fused_bottleneck_chain_strips(
+            x, w1, m1, b1, w2, m2, b2, w3, m3, b3, wd, md, bd, coeffs,
+            nblocks, strip=4, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s, np.int32), np.asarray(ref, np.int32), atol=1
+        )
+
     def test_full_model_with_layer1_fusion(self):
         """End-to-end tiny model: fused layer1 + fused branches vs the
         per-op walk."""
