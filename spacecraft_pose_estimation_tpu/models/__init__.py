@@ -26,6 +26,10 @@ def build_landmark_model(name: str, num_joints: int, **kwargs):
         return HRNet(config=HRNET_CMS_384.with_joints(num_joints), **kwargs)
     if name == "hrnet_tiny":  # CPU test/CI config
         return HRNet(config=HRNET_TINY.with_joints(num_joints), **kwargs)
+    if name == "hrnet_golden":  # golden-parity harness (torch-matched stem)
+        from .hrnet import HRNET_GOLDEN
+
+        return HRNet(config=HRNET_GOLDEN.with_joints(num_joints), **kwargs)
     if name == "hrnet_tiny_cms":  # CPU test/CI config, multi-scale heads
         import dataclasses
 

@@ -75,6 +75,19 @@ POSE_HRNET_W32 = HRNetConfig(head="classic")
 HRNET_CMS = HRNetConfig(head="cms")
 HRNET_CMS_384 = HRNetConfig(head="cms_half")
 
+# Golden-parity harness config: stem/layer1 match the torch reference's
+# HARDCODED structure (pose_hrnet.py: stem 64ch, Bottleneck x4 at 64),
+# stages small enough for a CPU torch oracle run. The torch side is
+# produced from the same spec via tests/test_golden_stage_parity.py's
+# tiny yaml (STAGE*.NUM_CHANNELS/NUM_BLOCKS/NUM_MODULES).
+HRNET_GOLDEN = HRNetConfig(
+    stem_channels=64,
+    stage1_blocks=4,
+    stage2=StageSpec(1, 2, (1, 1), (8, 16)),
+    stage3=StageSpec(1, 3, (1, 1, 1), (8, 16, 32)),
+    stage4=StageSpec(1, 4, (1, 1, 1, 1), (8, 16, 32, 64)),
+)
+
 # A tiny config for CPU tests.
 HRNET_TINY = HRNetConfig(
     stem_channels=8,

@@ -24,6 +24,7 @@ from .fpn import FPN, FPN_STRIDES
 from .resnet_backbone import (
     RESNET_TINY,
     RESNET50_FPN,
+    RESNET101_FPN,
     RESNEXT101_32x8d,
     ResNetBackbone,
     ResNetConfig,
@@ -79,6 +80,18 @@ FASTER_RCNN_X101_SPACECRAFT = RCNNConfig(
 # dominate the non-backbone time: +28/+35 ms of the 98 ms b8 graph).
 FASTER_RCNN_X101_SERVING = dataclasses.replace(
     FASTER_RCNN_X101_SPACECRAFT,
+    rpn=RPNConfig(pre_nms_topk_test=512, post_nms_topk_test=256),
+)
+
+# config_2 semantics (R101-FPN, object_detection_utils.py:46-62) with the
+# same spacecraft ROI heads. The serving variant exists because R101's
+# DENSE convs quantize well on TPU (int8 ~2x bf16), where X101's grouped
+# convs do not — this is the fast detect-every-frame preset.
+FASTER_RCNN_R101_SPACECRAFT = dataclasses.replace(
+    FASTER_RCNN_X101_SPACECRAFT, backbone=RESNET101_FPN
+)
+FASTER_RCNN_R101_SERVING = dataclasses.replace(
+    FASTER_RCNN_R101_SPACECRAFT,
     rpn=RPNConfig(pre_nms_topk_test=512, post_nms_topk_test=256),
 )
 

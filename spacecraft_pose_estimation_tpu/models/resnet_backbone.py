@@ -185,6 +185,10 @@ class ResNetConfig:
 # The reference's flagship trunk (config_4: X101-FPN).
 RESNEXT101_32x8d = ResNetConfig(depth=101, groups=32, width_per_group=8, stride_in_1x1=False)
 RESNET50_FPN = ResNetConfig(depth=50)
+# config_2's trunk (object_detection_utils.py:46-50, R101-FPN). Dense
+# convs: on TPU the int8 PTQ path hits full dense int8 rates here,
+# unlike the grouped X101 (DEVNOTES round 2) — the serving detector.
+RESNET101_FPN = ResNetConfig(depth=101)
 # Tiny config for CPU tests.
 RESNET_TINY = ResNetConfig(
     depth=50, stem_channels=8, res2_out_channels=16, freeze_at=0

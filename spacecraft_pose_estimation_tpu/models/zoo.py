@@ -26,7 +26,7 @@ class DetectorPreset:
     notes: str = ""
 
 
-_R101 = ResNetConfig(depth=101)
+from .resnet_backbone import RESNET101_FPN as _R101  # noqa: E402
 
 DETECTOR_PRESETS: dict[str, DetectorPreset] = {
     # Faster R-CNN X101-FPN 3x (the paper's main detector)

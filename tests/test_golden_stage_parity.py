@@ -1,0 +1,331 @@
+"""STAGE-LEVEL golden parity: run the reference's own stage scripts
+(landmark_regression/tools/test.py and pose_estimation/
+export_predicted_poses_real.py) as subprocess oracles and require the
+framework's staged CLIs to reproduce their artifacts.
+
+This upgrades the module-level torch parity (test_reference_parity.py)
+to pipeline parity (BASELINE.md: "pose scores within 1%"): same weights
+(born in the reference's torch model, transferred via the tested
+torch->flax importer), same COCO/test.json data contract, compared at
+the stage artifact level — pred.mat keypoints and opencv_poses.json
+poses.
+
+The reference scripts run UNMODIFIED via tests/ref_shims/run_ref_cpu.py
+(numpy-2 aliases + CPU-no-op .cuda()) with missing third-party modules
+shimmed (yacs/json_tricks/torchvision/kornia — tests/ref_shims/).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+torch = pytest.importorskip("torch")
+cv2 = pytest.importorskip("cv2")
+import scipy.io as scio  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SHIMS = os.path.join(REPO, "tests", "ref_shims")
+REF_LM = "/root/reference/landmark_regression"
+REF_POSE = "/root/reference/pose_estimation"
+
+J = 8  # landmark-stage joints
+STAGES = {
+    "STAGE2": {"NUM_MODULES": 1, "NUM_BRANCHES": 2, "BLOCK": "BASIC",
+               "NUM_BLOCKS": [1, 1], "NUM_CHANNELS": [8, 16],
+               "FUSE_METHOD": "SUM"},
+    "STAGE3": {"NUM_MODULES": 1, "NUM_BRANCHES": 3, "BLOCK": "BASIC",
+               "NUM_BLOCKS": [1, 1, 1], "NUM_CHANNELS": [8, 16, 32],
+               "FUSE_METHOD": "SUM"},
+    "STAGE4": {"NUM_MODULES": 1, "NUM_BRANCHES": 4, "BLOCK": "BASIC",
+               "NUM_BLOCKS": [1, 1, 1, 1], "NUM_CHANNELS": [8, 16, 32, 64],
+               "FUSE_METHOD": "SUM"},
+}
+
+
+def _ref_env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = SHIMS
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("OMP_NUM_THREADS", "1")
+    return env
+
+
+def _run(cmd, cwd=None, env=None):
+    r = subprocess.run(
+        cmd, cwd=cwd, env=env or _ref_env(), capture_output=True, text=True,
+        timeout=1800,
+    )
+    assert r.returncode == 0, f"{' '.join(map(str, cmd))}\n{r.stdout[-3000:]}\n{r.stderr[-3000:]}"
+    return r
+
+
+def _make_torch_checkpoint(path, seed=0):
+    """Random-init the REFERENCE pose_hrnet (tiny stages), warm its BN
+    stats with a few train-mode forwards, save the state_dict."""
+    sys.path.insert(0, os.path.join(REF_LM, "lib"))
+    sys.path.insert(0, SHIMS)
+    try:
+        for m in ("float", "int", "bool", "object"):
+            if not hasattr(np, m):
+                setattr(np, m, {"float": float, "int": int, "bool": bool,
+                                "object": object}[m])
+        from models import pose_hrnet as ref_pose_hrnet
+    finally:
+        sys.path.remove(os.path.join(REF_LM, "lib"))
+        sys.path.remove(SHIMS)
+    cfg = {"MODEL": {"NUM_JOINTS": J, "INIT_WEIGHTS": False, "PRETRAINED": "",
+                     "EXTRA": {"FINAL_CONV_KERNEL": 1,
+                               "PRETRAINED_LAYERS": ["*"], **STAGES}}}
+    torch.manual_seed(seed)
+    model = ref_pose_hrnet.get_pose_net(cfg, is_train=False)
+    model.train()
+    with torch.no_grad():
+        for i in range(3):
+            model(torch.randn(2, 3, 128, 128, generator=torch.Generator().manual_seed(i)))
+    model.eval()
+    torch.save(model.state_dict(), path)
+    return path
+
+
+def _make_scene(root, n=10, W=256, H=192, seed=5):
+    """Images + real_test.json-contract COCO (dummy all-visible
+    keypoints, one annotation per image — the box-exporter output,
+    export_object_detection_bounding_boxes.py:347-366)."""
+    rng = np.random.default_rng(seed)
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    images, anns = [], []
+    for i in range(n):
+        img = rng.integers(0, 80, (H, W, 3)).astype(np.uint8)
+        # a bright structured blob so the crop sees non-noise content
+        cx, cy = rng.integers(80, W - 80), rng.integers(60, H - 60)
+        cv2.circle(img, (int(cx), int(cy)), 28, (220, 200, 180), -1)
+        cv2.rectangle(img, (int(cx) - 18, int(cy) - 10), (int(cx) + 18, int(cy) + 10),
+                      (40, 240, 90), -1)
+        name = f"frame_{i:04d}.png"
+        cv2.imwrite(os.path.join(img_dir, name), img)
+        w, h = int(rng.integers(70, 90)), int(rng.integers(56, 72))
+        x, y = int(cx - w // 2), int(cy - h // 2)
+        images.append({"file_name": name, "width": W, "height": H, "id": i})
+        anns.append({
+            "id": i, "image_id": i, "category_id": 1,
+            "bbox": [float(x), float(y), float(w), float(h)],
+            "area": float(w * h), "iscrowd": 0,
+            "keypoints": [2.0, 2.0, 2.0] * J, "num_keypoints": J,
+        })
+    coco = {"images": images, "annotations": anns,
+            "categories": [{"id": 1, "name": "spacecraft",
+                            "keypoints": [f"kp{k}" for k in range(J)],
+                            "skeleton": []}]}
+    with open(os.path.join(root, "test.json"), "w") as f:
+        json.dump(coco, f)
+    return img_dir, os.path.join(root, "test.json"), (W, H)
+
+
+def _ref_yaml(path, root, img_dir, model_file, W, H):
+    import yaml
+
+    cfg = {
+        "AUTO_RESUME": False,
+        "DATA_DIR": img_dir,
+        "OUTPUT_DIR": os.path.join(os.path.dirname(path), "ref_out"),
+        "LOG_DIR": os.path.join(os.path.dirname(path), "ref_log"),
+        "WORKERS": 0,
+        "PRINT_FREQ": 100,
+        "DATASET": {"COLOR_RGB": True, "DATASET": "EventsDataset",
+                    "DATA_FORMAT": "png", "FLIP": False, "ROOT": root,
+                    "TEST_SET": "test", "IMAGE_WIDTH": W, "IMAGE_HEIGHT": H},
+        "MODEL": {"INIT_WEIGHTS": False, "NAME": "pose_hrnet",
+                  "NUM_JOINTS": J, "PRETRAINED": "",
+                  "TARGET_TYPE": "gaussian", "IMAGE_SIZE": [128, 128],
+                  "HEATMAP_SIZE": [32, 32], "SIGMA": 2,
+                  "EXTRA": {"PRETRAINED_LAYERS": ["*"],
+                            "FINAL_CONV_KERNEL": 1, **STAGES}},
+        "LOSS": {"USE_TARGET_WEIGHT": True},
+        "TEST": {"BATCH_SIZE_PER_GPU": 4, "MODEL_FILE": model_file,
+                 "FLIP_TEST": False, "POST_PROCESS": True,
+                 "SHIFT_HEATMAP": False},
+        "DEBUG": {"DEBUG": False, "SAVE_BATCH_IMAGES_GT": False,
+                  "SAVE_BATCH_IMAGES_PRED": False, "SAVE_HEATMAPS_GT": False,
+                  "SAVE_HEATMAPS_PRED": False},
+    }
+    os.makedirs(cfg["OUTPUT_DIR"], exist_ok=True)
+    os.makedirs(cfg["LOG_DIR"], exist_ok=True)
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return path
+
+
+def _find(root, name):
+    hits = []
+    for dirpath, _, files in os.walk(root):
+        if name in files:
+            hits.append(os.path.join(dirpath, name))
+    assert hits, f"{name} not under {root}"
+    return hits[0]
+
+
+class TestLandmarkStageGolden:
+    def test_pred_mat_matches_reference_script(self, tmp_path):
+        """reference tools/test.py vs our tools/test_landmarks.py, same
+        weights + same test.json -> same pred.mat keypoints."""
+        root = str(tmp_path)
+        img_dir, test_json, (W, H) = _make_scene(root)
+        ckpt_pth = _make_torch_checkpoint(os.path.join(root, "ref_weights.pth"))
+
+        # --- reference stage script ---
+        yaml_path = _ref_yaml(os.path.join(root, "tiny.yaml"), root, img_dir,
+                              ckpt_pth, W, H)
+        _run(
+            [sys.executable, os.path.join(SHIMS, "run_ref_cpu.py"),
+             os.path.join(REF_LM, "tools", "test.py"), "--cfg", yaml_path],
+            cwd=root,
+        )
+        ref_pred = scio.loadmat(_find(os.path.join(root, "ref_out"), "pred_test.mat"))
+        ref_kps = np.asarray(ref_pred["preds"], np.float64)  # (N, J, 3)
+
+        # --- our staged CLI, weights through the torch importer ---
+        our_ckpt = os.path.join(root, "our_ckpt")
+        _run(
+            [sys.executable, os.path.join(REPO, "tools", "import_weights.py"),
+             "--torch-checkpoint", ckpt_pth, "--kind", "hrnet",
+             "--model", "hrnet_golden", "--num-joints", str(J),
+             "--image-size", "128", "128", "--output", our_ckpt,
+             "--all-layers"],
+        )
+        our_cfg = os.path.join(root, "ours.yaml")
+        with open(our_cfg, "w") as f:
+            f.write(
+                "model:\n  name: hrnet_golden\n  image_size: [128, 128]\n"
+                "  heatmap_size: [32, 32]\n  sigma: 2.0\n"
+                "test:\n  flip_test: false\n  post_process: true\n"
+                "  batch_size_per_chip: 4\n"
+            )
+        out_dir = os.path.join(root, "our_out")
+        _run(
+            [sys.executable, os.path.join(REPO, "tools", "test_landmarks.py"),
+             "--preset", "events", "--cfg", our_cfg,
+             "--test-json", test_json, "--image-dir", img_dir,
+             "--checkpoint", our_ckpt, "--output", out_dir,
+             "--pred-name", "pred_test"],
+        )
+        our_kps = np.asarray(
+            scio.loadmat(_find(out_dir, "pred_test.mat"))["preds"], np.float64
+        )
+
+        assert our_kps.shape == ref_kps.shape, (our_kps.shape, ref_kps.shape)
+        dxy = np.linalg.norm(our_kps[..., :2] - ref_kps[..., :2], axis=-1)
+        # heatmap argmax bins are 4 px; allow rare near-tie bin hops on
+        # this random-weight net but demand sub-pixel typical agreement
+        assert np.median(dxy) < 0.35, np.median(dxy)
+        assert np.quantile(dxy, 0.9) < 2.0, np.quantile(dxy, 0.9)
+        dconf = np.abs(our_kps[..., 2] - ref_kps[..., 2])
+        assert np.median(dconf) < 5e-3, np.median(dconf)
+
+
+class TestPnPStageGolden:
+    def test_poses_match_reference_script(self, tmp_path):
+        """reference export_predicted_poses_real.py vs our
+        tools/export_poses.py on the SAME pred.mat -> poses within 1%
+        (the BASELINE.md bound)."""
+        root = str(tmp_path)
+        rng = np.random.default_rng(11)
+        n, jj = 6, 16
+        W, H = 256, 192
+        lm = rng.uniform(-0.5, 0.5, (jj, 3))
+        K = np.array([[300.0, 0, W / 2], [0, 300.0, H / 2], [0, 0, 1]])
+        dist = np.zeros(5)
+
+        img_dir = os.path.join(root, "frames")
+        os.makedirs(img_dir)
+        images, anns, gt = [], [], []
+        preds = np.zeros((n, jj, 3), np.float64)
+        for i in range(n):
+            # random pose with the object in front of the camera
+            axis = rng.normal(size=3)
+            axis /= np.linalg.norm(axis)
+            ang = rng.uniform(0, np.pi)
+            R, _ = cv2.Rodrigues(axis * ang)
+            t = np.array([rng.uniform(-0.5, 0.5), rng.uniform(-0.4, 0.4),
+                          rng.uniform(5.0, 9.0)])
+            pts, _ = cv2.projectPoints(lm, cv2.Rodrigues(R)[0], t, K, dist)
+            pts = pts[:, 0, :] + rng.normal(0, 0.25, (jj, 2))
+            conf = np.full(jj, 0.99)
+            conf[3] = 0.90  # exercises the 0.95*0.8^k adaptive gate
+            pts[5] += 40.0  # one gross outlier for RANSAC to reject
+            conf[5] = 0.97
+            preds[i, :, :2] = pts
+            preds[i, :, 2] = conf
+            gt.append((R, t))
+            name = f"frame_{i:04d}.png"
+            cv2.imwrite(os.path.join(img_dir, name),
+                        rng.integers(0, 255, (H, W, 3)).astype(np.uint8))
+            images.append({"file_name": name, "width": W, "height": H, "id": i})
+            anns.append({"id": i, "image_id": i, "category_id": 1,
+                         "bbox": [60.0, 40.0, 120.0, 100.0], "area": 12000.0,
+                         "iscrowd": 0, "keypoints": [2.0, 2.0, 2.0] * jj,
+                         "num_keypoints": jj})
+
+        det_json = os.path.join(root, "real_test.json")
+        with open(det_json, "w") as f:
+            json.dump({"images": images, "annotations": anns,
+                       "categories": [{"id": 1, "name": "spacecraft"}]}, f)
+        pred_mat = os.path.join(root, "pred.mat")
+        scio.savemat(pred_mat, {"preds": preds})
+        lm_csv = os.path.join(root, "landmarks.csv")
+        with open(lm_csv, "w") as f:
+            f.write("x,y,z\n")
+            for p in lm:
+                f.write(f"{p[0]},{p[1]},{p[2]}\n")
+        calib = os.path.join(root, "calibration.json")
+        with open(calib, "w") as f:
+            json.dump({"intrinsics": {"camera_matrix": K.tolist(),
+                                      "distortion_coefficients": dist.tolist()}}, f)
+
+        # --- reference stage script ---
+        ref_out = os.path.join(root, "ref_out")
+        os.makedirs(ref_out)
+        _run(
+            [sys.executable, os.path.join(SHIMS, "run_ref_cpu.py"),
+             os.path.join(REF_POSE, "export_predicted_poses_real.py"),
+             "--frames_dir", img_dir, "--detection_annotations", det_json,
+             "--pose_annotations", pred_mat, "--landmarks_file", lm_csv,
+             "--calibration_file_path", calib, "--output_dir", ref_out],
+            cwd=root,
+        )
+        with open(os.path.join(ref_out, "opencv_poses.json")) as f:
+            ref_poses = json.load(f)
+
+        # --- our stage CLI ---
+        our_out = os.path.join(root, "our_out")
+        _run(
+            [sys.executable, os.path.join(REPO, "tools", "export_poses.py"),
+             "--frames-dir", img_dir, "--detection-annotations", det_json,
+             "--pose-annotations", pred_mat, "--landmarks-file", lm_csv,
+             "--calibration-file", calib, "--output-dir", our_out,
+             "--solver", "ransac", "--no-render"],
+        )
+        with open(os.path.join(our_out, "opencv_poses.json")) as f:
+            our_poses = json.load(f)
+
+        assert len(ref_poses) == len(our_poses) == n
+        ang_errs, t_errs = [], []
+        for rp, op, (Rg, tg) in zip(ref_poses, our_poses, gt):
+            Rr = np.asarray(rp["rotation_matrix"], np.float64)
+            Ro = np.asarray(op["rotation_matrix"], np.float64)
+            tr = np.asarray(rp["T"], np.float64).reshape(3)
+            to = np.asarray(op["T"], np.float64).reshape(3)
+            cosang = (np.trace(Rr.T @ Ro) - 1) / 2
+            ang_errs.append(np.degrees(np.arccos(np.clip(cosang, -1, 1))))
+            t_errs.append(np.linalg.norm(tr - to) / np.linalg.norm(tr))
+        # "within 1%": SPEED-style pose score parity on identical inputs
+        assert np.median(ang_errs) < 0.5, ang_errs
+        assert max(ang_errs) < 2.0, ang_errs
+        assert np.median(t_errs) < 0.01, t_errs
+        assert max(t_errs) < 0.03, t_errs
