@@ -369,3 +369,241 @@ def evaluate_semantic_segmentation(
         "mACC": macc * 100,
         "pACC": pacc * 100,
     }
+
+
+# ---------------------------------------------------------------------------
+# keypoint (OKS) and instance-mask AP — the remaining COCOEvaluator tasks
+# (detectron2 evaluation/coco_evaluation.py:69 evaluates
+# {"bbox", "segm", "keypoints"}; semantics below follow pycocotools
+# COCOeval with iouType 'keypoints'/'segm')
+# ---------------------------------------------------------------------------
+
+# pycocotools person-keypoint defaults (COCOeval.__init__); used when the
+# caller gives no per-keypoint sigmas and J == 17
+COCO_PERSON_SIGMAS = np.array(
+    [.26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62, 1.07, 1.07,
+     .87, .87, .89, .89]
+) / 10.0
+
+# keypoint protocol uses only all/medium/large and maxDets=20
+KPT_AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "medium": (32.0**2, 96.0**2),
+    "large": (96.0**2, 1e10),
+}
+
+
+def compute_oks(
+    det_kps: np.ndarray,  # (D, J, 3) x, y, score
+    gt_kps: np.ndarray,  # (G, J, 3) x, y, vis
+    gt_areas: np.ndarray,  # (G,)
+    gt_boxes: np.ndarray,  # (G, 4) xywh — the k1==0 fallback region
+    sigmas: np.ndarray,
+) -> np.ndarray:
+    """Object-keypoint-similarity matrix (pycocotools computeOks):
+    mean over labeled keypoints of exp(-d^2 / (2 area sigma_i^2)); for
+    gts with no labeled keypoints, distances are measured to a 2x-
+    expanded gt box (every keypoint counts)."""
+    D, G = len(det_kps), len(gt_kps)
+    ious = np.zeros((D, G))
+    if D == 0 or G == 0:
+        return ious
+    var = (2.0 * np.asarray(sigmas)) ** 2
+    for j in range(G):
+        xg, yg, vg = gt_kps[j, :, 0], gt_kps[j, :, 1], gt_kps[j, :, 2]
+        k1 = int((vg > 0).sum())
+        x0 = gt_boxes[j, 0] - gt_boxes[j, 2]
+        x1 = gt_boxes[j, 0] + gt_boxes[j, 2] * 2
+        y0 = gt_boxes[j, 1] - gt_boxes[j, 3]
+        y1 = gt_boxes[j, 1] + gt_boxes[j, 3] * 2
+        for i in range(D):
+            xd, yd = det_kps[i, :, 0], det_kps[i, :, 1]
+            if k1 > 0:
+                dx = xd - xg
+                dy = yd - yg
+            else:
+                dx = np.maximum(0.0, x0 - xd) + np.maximum(0.0, xd - x1)
+                dy = np.maximum(0.0, y0 - yd) + np.maximum(0.0, yd - y1)
+            e = (dx**2 + dy**2) / var / (gt_areas[j] + np.spacing(1)) / 2.0
+            if k1 > 0:
+                e = e[vg > 0]
+            ious[i, j] = float(np.sum(np.exp(-e)) / e.shape[0])
+    return ious
+
+
+def evaluate_keypoints(
+    detections: list[dict],
+    ground_truths: list[dict],
+    sigmas: np.ndarray | None = None,
+    max_dets: int = 20,
+) -> dict[str, float]:
+    """Keypoint-OKS AP (COCOEvaluator task "keypoints").
+
+    Args:
+      detections: per image {"keypoints" (D, J, 3), "scores" (D,)}.
+      ground_truths: per image {"keypoints" (G, J, 3) with vis in col 2,
+        "boxes" (G, 4) xywh; optional "areas" (G,) — defaults to w*h}.
+      sigmas: per-keypoint OKS sigmas; defaults to the COCO-person 17
+        when J == 17, else uniform 0.05 (d2 TEST.KEYPOINT_OKS_SIGMAS).
+
+    GTs with zero labeled keypoints are ignored (pycocotools
+    'num_keypoints == 0' rule), as are those outside the area range.
+    """
+    assert len(detections) == len(ground_truths)
+    results = {}
+    ap_per_iou = {}
+    for area_name, area_range in KPT_AREA_RANGES.items():
+        aps, ars = [], []
+        for t in IOU_THRS:
+            all_matched, all_ignored, all_scores = [], [], []
+            total_gt = 0
+            for det, gt in zip(detections, ground_truths):
+                det_kps = np.asarray(det["keypoints"], np.float64)
+                det_kps = det_kps.reshape((-1,) + tuple(det_kps.shape[1:])) if det_kps.size else np.zeros((0, 1, 3))
+                det_s = np.asarray(det["scores"], np.float64)
+                gt_kps = np.asarray(gt["keypoints"], np.float64)
+                gt_kps = gt_kps.reshape((-1,) + tuple(gt_kps.shape[1:])) if gt_kps.size else np.zeros((0, det_kps.shape[1] if len(det_kps) else 1, 3))
+                gt_boxes = np.asarray(gt["boxes"], np.float64).reshape(-1, 4)
+                jj = det_kps.shape[1] if len(det_kps) else gt_kps.shape[1]
+                if sigmas is None:
+                    sg = COCO_PERSON_SIGMAS if jj == 17 else np.full(jj, 0.05)
+                else:
+                    sg = np.asarray(sigmas, np.float64)
+                gt_areas = np.asarray(
+                    gt.get("areas", gt_boxes[:, 2] * gt_boxes[:, 3]), np.float64
+                )
+
+                # pack [area, ...] rows; empty-kp gts get area -1 ->
+                # always outside the range -> ignored (the pycocotools
+                # num_keypoints==0 rule). Detection "area" for the
+                # unmatched-det ignore rule is the predicted-keypoint
+                # bbox area (pycocotools uses the det's own area field).
+                n_vis = (gt_kps[:, :, 2] > 0).sum(axis=1) if len(gt_kps) else np.zeros(0)
+                gt_eff_area = np.where(n_vis > 0, gt_areas, -1.0)
+                if len(det_kps):
+                    dw = det_kps[:, :, 0].max(1) - det_kps[:, :, 0].min(1)
+                    dh = det_kps[:, :, 1].max(1) - det_kps[:, :, 1].min(1)
+                    dpack = np.concatenate(
+                        [(dw * dh)[:, None], det_kps.reshape(len(det_kps), -1)],
+                        axis=1,
+                    )
+                else:
+                    dpack = np.zeros((0, 1 + jj * 3))
+                gpack = np.concatenate(
+                    [gt_eff_area[:, None], gt_areas[:, None], gt_boxes,
+                     gt_kps.reshape(len(gt_kps), -1)], axis=1
+                ) if len(gt_kps) else np.zeros((0, 2 + 4 + jj * 3))
+
+                def iou_fn(dp, gp, jj=jj, sg=sg):
+                    if len(dp) == 0 or len(gp) == 0:
+                        return np.zeros((len(dp), len(gp)))
+                    return compute_oks(
+                        dp[:, 1:].reshape(len(dp), jj, 3),
+                        gp[:, 6:].reshape(len(gp), jj, 3),
+                        gp[:, 1],  # TRUE area for OKS even on ignored gts
+                        gp[:, 2:6],
+                        sg,
+                    )
+
+                def area_fn(rows):
+                    return rows[:, 0]
+
+                m, ig, sc, ng = _match_image(
+                    dpack, det_s, gpack, t, area_range, max_dets,
+                    iou_fn=iou_fn, area_fn=area_fn,
+                )
+                all_matched.append(m)
+                all_ignored.append(ig)
+                all_scores.append(sc)
+                total_gt += ng
+            ap, ar = _ap_from_matches(all_matched, all_ignored, all_scores, total_gt)
+            aps.append(ap)
+            ars.append(ar)
+            if area_name == "all":
+                ap_per_iou[round(float(t), 2)] = ap
+        key = {"all": "AP", "medium": "APm", "large": "APl"}[area_name]
+        results[key] = float(np.nanmean(aps)) * 100 if not np.all(np.isnan(aps)) else float("nan")
+        if area_name == "all":
+            results["AR"] = float(np.nanmean(ars)) * 100 if not np.all(np.isnan(ars)) else float("nan")
+    results["AP50"] = ap_per_iou.get(0.5, np.nan) * 100
+    results["AP75"] = ap_per_iou.get(0.75, np.nan) * 100
+    return results
+
+
+def mask_iou(det_masks: np.ndarray, gt_masks: np.ndarray) -> np.ndarray:
+    """(D, H, W) x (G, H, W) binary-mask IoU."""
+    if len(det_masks) == 0 or len(gt_masks) == 0:
+        return np.zeros((len(det_masks), len(gt_masks)))
+    d = np.asarray(det_masks, bool).reshape(len(det_masks), -1)
+    g = np.asarray(gt_masks, bool).reshape(len(gt_masks), -1)
+    inter = (d[:, None, :] & g[None, :, :]).sum(-1).astype(np.float64)
+    union = (d[:, None, :] | g[None, :, :]).sum(-1).astype(np.float64)
+    return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+
+
+def evaluate_instance_segmentation(
+    detections: list[dict],
+    ground_truths: list[dict],
+    max_dets: int = 100,
+) -> dict[str, float]:
+    """Instance-mask AP (COCOEvaluator task "segm"): identical matching
+    protocol to box AP but with binary-mask IoU and mask-pixel areas.
+
+    detections: per image {"masks" (D, H, W) bool, "scores" (D,)}.
+    ground_truths: per image {"masks" (G, H, W) bool}.
+    """
+    assert len(detections) == len(ground_truths)
+    results = {}
+    ap_per_iou = {}
+    for area_name, area_range in AREA_RANGES.items():
+        aps, ars = [], []
+        for t in IOU_THRS:
+            all_matched, all_ignored, all_scores = [], [], []
+            total_gt = 0
+            for det, gt in zip(detections, ground_truths):
+                dm = np.asarray(det["masks"], bool)
+                gm = np.asarray(gt["masks"], bool)
+                dm = dm.reshape((-1,) + dm.shape[-2:]) if dm.size else dm.reshape(0, 1, 1)
+                gm = gm.reshape((-1,) + gm.shape[-2:]) if gm.size else gm.reshape(0, 1, 1)
+                det_s = np.asarray(det["scores"], np.float64)
+                # pack [area, flat mask bits] — the same row-packing trick
+                # as keypoints so _match_image's area logic applies
+                npx = int(np.prod(dm.shape[1:])) if dm.ndim == 3 else 1
+                dareas = dm.reshape(len(dm), npx).sum(-1).astype(np.float64)
+                npx_g = int(np.prod(gm.shape[1:])) if gm.ndim == 3 else 1
+                gareas = gm.reshape(len(gm), npx_g).sum(-1).astype(np.float64)
+                dpack = np.concatenate(
+                    [dareas[:, None], dm.reshape(len(dm), -1)], axis=1
+                ) if len(dm) else np.zeros((0, 2))
+                gpack = np.concatenate(
+                    [gareas[:, None], gm.reshape(len(gm), -1)], axis=1
+                ) if len(gm) else np.zeros((0, 2))
+
+                def iou_fn(dp, gp, shape=gm.shape[-2:] if gm.size else (1, 1)):
+                    if len(dp) == 0 or len(gp) == 0:
+                        return np.zeros((len(dp), len(gp)))
+                    return mask_iou(
+                        dp[:, 1:].astype(bool).reshape((len(dp),) + shape),
+                        gp[:, 1:].astype(bool).reshape((len(gp),) + shape),
+                    )
+
+                m, ig, sc, ng = _match_image(
+                    dpack, det_s, gpack, t, area_range, max_dets,
+                    iou_fn=iou_fn, area_fn=lambda rows: rows[:, 0],
+                )
+                all_matched.append(m)
+                all_ignored.append(ig)
+                all_scores.append(sc)
+                total_gt += ng
+            ap, ar = _ap_from_matches(all_matched, all_ignored, all_scores, total_gt)
+            aps.append(ap)
+            ars.append(ar)
+            if area_name == "all":
+                ap_per_iou[round(float(t), 2)] = ap
+        key = {"all": "AP", "small": "APs", "medium": "APm", "large": "APl"}[area_name]
+        results[key] = float(np.nanmean(aps)) * 100 if not np.all(np.isnan(aps)) else float("nan")
+        if area_name == "all":
+            results["AR"] = float(np.nanmean(ars)) * 100 if not np.all(np.isnan(ars)) else float("nan")
+    results["AP50"] = ap_per_iou.get(0.5, np.nan) * 100
+    results["AP75"] = ap_per_iou.get(0.75, np.nan) * 100
+    return results
