@@ -141,3 +141,31 @@ def keypoint_loss(kp_logits: Array, gt_heatmap_idx: Array, kp_valid: Array, fg: 
     picked = jnp.take_along_axis(logp, gt_heatmap_idx[:, :, None], axis=-1)[..., 0]
     weights = kp_valid * fg[:, None]
     return -jnp.sum(picked * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+
+
+def keypoints_from_logits(kp_logits: Array, boxes: Array) -> Array:
+    """Per-ROI keypoint heatmap logits -> image-space keypoints
+    (keypoint_head.py heatmaps_to_keypoints semantics: argmax bin center
+    scaled into the box, softmax prob as the score).
+
+    Args:
+      kp_logits: (R, S, S, K) logits.
+      boxes: (R, 4) XYXY image-space boxes.
+
+    Returns (R, K, 3): x, y, probability.
+    """
+    r, hh, ww, k = kp_logits.shape
+    flat = kp_logits.reshape(r, hh * ww, k)
+    idx = jnp.argmax(flat, axis=1)  # (R, K)
+    prob = jax.nn.softmax(flat, axis=1)
+    score = jnp.take_along_axis(prob, idx[:, None, :], axis=1)[:, 0, :]
+    yi = (idx // ww).astype(jnp.float32)
+    xi = (idx % ww).astype(jnp.float32)
+    x0, y0 = boxes[:, 0:1], boxes[:, 1:2]
+    bw = jnp.maximum(boxes[:, 2:3] - boxes[:, 0:1], 1e-6)
+    bh = jnp.maximum(boxes[:, 3:4] - boxes[:, 1:2], 1e-6)
+    # d2 maps heatmap bin centers with the roi_map offset convention:
+    # x = x0 + (xi + 0.5) * w / S
+    x = x0 + (xi + 0.5) * bw / ww
+    y = y0 + (yi + 0.5) * bh / hh
+    return jnp.stack([x, y, score], axis=-1)
