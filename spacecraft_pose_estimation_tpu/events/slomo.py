@@ -131,11 +131,18 @@ class SuperSloMo(nn.Module):
     """Bundled flow-comp + arbitrary-time interpolation networks."""
 
     @nn.compact
-    def __call__(self, frame0: Array, frame1: Array, t: Array) -> Array:
+    def __call__(self, frame0: Array, frame1: Array, t: Array,
+                 return_flow: bool = False) -> Array:
         """Interpolate at fractional time t in (0, 1). Frames are
-        (B, H, W, C) in [0, 1]; C=1 (luma) or 3."""
+        (B, H, W, C) in [0, 1]; C=1 (luma) or 3.
+
+        return_flow=True: return the raw bidirectional flow (..., 4)
+        instead (the --auto_timestamp_resolution probe, reference
+        slomo.py:231-360 limits flow to <=1 px per interpolated frame)."""
         x = jnp.concatenate([frame0, frame1], axis=-1)
         flow_out = UNet(4, name="flow_comp")(x)
+        if return_flow:
+            return flow_out
         f01 = flow_out[..., 0:2]
         f10 = flow_out[..., 2:4]
 

@@ -289,7 +289,7 @@ class _Int8Ops:
         if self.s2d:
             c2 = self.q["convs_s2d"].get(name)
             if c2 is not None:
-                return self._convbn_s2d(name, h, relu, c2)
+                return self._convbn_s2d(name, h, stride, relu, c2)
         c = self.q["convs"][name]
         k = c["w8"].shape[0]
         y = jax.lax.conv_general_dilated(
@@ -307,28 +307,30 @@ class _Int8Ops:
             jnp.clip(jnp.round(f), -127, 127).astype(jnp.int8), None, name
         )
 
-    def _convbn_s2d(self, name, h, relu, c2):
+    def _convbn_s2d(self, name, h, stride, relu, c2):
         """Space-to-depth-packed conv sites (ops/s2d.py): branch0 runs
         with 2x2 cells packed into channels so every conv is 128 lanes
-        wide (bit-exact vs the std int8 walk)."""
+        wide (bit-exact vs the std int8 walk). The conv kind follows
+        from (layout, stride): std input = entry (k=4 s2 packed-out);
+        packed input at stride 2 = down (std half-res out); packed input
+        at stride 1 alternates even<->odd."""
         from ..ops import s2d as s2d_ops
 
-        kind = c2["kind"]
-        if kind == "entry":
-            assert h.layout == "std", h
+        if h.layout == "std":
+            assert c2["w8p"].shape[0] == 4, name  # entry
             y = s2d_ops.conv_std_to_even(h.value, c2["w8p"])
             out_layout = "even"
-        elif kind == "alt" and h.layout == "even":
-            y = s2d_ops.conv_even_to_odd(h.value, c2["w8p"])
-            out_layout = "odd"
-        elif kind == "alt":
-            assert h.layout == "odd", h
-            y = s2d_ops.conv_odd_to_even(h.value, c2["w8p"])
-            out_layout = "even"
-        else:  # down: packed in, std half-res out
+        elif stride == 2:
             assert h.layout == "even", h
             y = s2d_ops.conv_even_down(h.value, c2["w8p"])
             out_layout = "std"
+        elif h.layout == "even":
+            y = s2d_ops.conv_even_to_odd(h.value, c2["w8p"])
+            out_layout = "odd"
+        else:
+            assert h.layout == "odd", h
+            y = s2d_ops.conv_odd_to_even(h.value, c2["w8p"])
+            out_layout = "even"
         f = y.astype(jnp.float32) * c2["m"] + c2["b"]
         if relu:
             f = jnp.maximum(f, 0)
@@ -521,7 +523,10 @@ def s2d_pack_quantized(q: dict, cfg: HRNetConfig) -> dict:
             wp = s2d_ops.w3_pack_alt(w8)
         else:  # down
             wp = s2d_ops.w3_pack_down(w8)
-        ent = {"kind": kind, "w8p": jnp.asarray(wp)}
+        # NOTE: no 'kind' string in the tree — q rides through jit as an
+        # argument, so every leaf must be an array; the executor derives
+        # the conv kind from the handle layout + stride instead.
+        ent = {"w8p": jnp.asarray(wp)}
         if kind in ("entry", "alt"):  # packed output: tile requant vectors
             ent["m"] = jnp.asarray(s2d_ops.tile_vec(np.asarray(c["m"])), jnp.float32)
             ent["b"] = jnp.asarray(s2d_ops.tile_vec(np.asarray(c["b"])), jnp.float32)

@@ -1,10 +1,21 @@
 #!/usr/bin/env python
 """Video/frames -> DVS events (v2e/v2e.py CLI equivalent).
 
-Pipeline: read frames -> luma -> (optional SuperSloMo upsample) ->
-emulator scan -> outputs: events CSV (--dvs_text), AEDAT2 (--dvs_aedat2),
-HDF5 (--dvs_h5), and rendered event frames (duration exposure).
-Also provides `e2v` mode: events CSV -> frames (v2e/e2v.py).
+Pipeline: read frames -> luma -> (optional SuperSloMo upsample, fixed or
+flow-adaptive factor) -> emulator scan -> outputs: events CSV
+(--dvs_text), AEDAT2 (--dvs_aedat2), HDF5 (--dvs_h5), numpy
+(--dvs_numpy), rendered event frames + dvs-video.avi, and orig/slomo
+previews (--vid_orig/--vid_slomo). Also provides `e2v` mode via
+tools/e2v.py (events CSV -> frames).
+
+Flag surface mirrors the reference's grouped argparse tree
+(v2ecore/v2e_args.py:56+): camera presets --dvs128..--dvs1024, input
+windowing (--start_time/--stop_time/--crop/--input_slowmotion_factor),
+timestamp resolution (--auto_timestamp_resolution/--timestamp_resolution),
+DVS model params incl. jitter/cov, and the output-folder management
+trio (--overwrite/--unique_output_folder/--output_in_place). GUI-only
+flags (--no_preview, --show_dvs_model_state) are accepted and ignored
+on this headless TPU image.
 """
 
 import argparse
@@ -48,33 +59,153 @@ def load_frames(input_path: str, height: int | None, width: int | None):
     return np.stack(frames).astype(np.float32)
 
 
+def set_output_dimension(args):
+    """Camera-preset geometry (v2e_utils.set_output_dimension:166-189)."""
+    w, h = args.output_width, args.output_height
+    if args.dvs128:
+        w, h = 128, 128
+    elif args.dvs240:
+        w, h = 240, 180
+    elif args.dvs346:
+        w, h = 346, 260
+    elif args.dvs640:
+        w, h = 640, 480
+    elif args.dvs1024:
+        w, h = 1024, 768
+    if w is None or h is None:
+        w = h = None  # auto from source
+    return w, h
+
+
+def resolve_output_folder(args) -> str:
+    """--output_in_place / --overwrite / --unique_output_folder
+    semantics (v2e.py output folder handling)."""
+    if args.output_in_place:
+        return args.input if os.path.isdir(args.input) else os.path.dirname(args.input)
+    folder = args.output_folder
+    if os.path.isdir(folder) and os.listdir(folder) and not args.overwrite:
+        if args.unique_output_folder:
+            k = 1
+            while os.path.isdir(f"{folder}-{k}") and os.listdir(f"{folder}-{k}"):
+                k += 1
+            folder = f"{folder}-{k}"
+        else:
+            raise SystemExit(
+                f"output folder {folder} is not empty; use --overwrite or "
+                "--unique_output_folder"
+            )
+    return folder
+
+
+def write_avi(frames_u8, path, fps):
+    """Grey frame stack -> avi (renderer.py:327-343 video output)."""
+    import cv2
+    import numpy as np
+
+    frames_u8 = np.asarray(frames_u8)
+    if frames_u8.ndim == 3:
+        frames_u8 = frames_u8[..., None].repeat(3, axis=-1)
+    h, w = frames_u8.shape[1:3]
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"XVID"), max(fps, 1.0), (w, h))
+    for fr in frames_u8:
+        vw.write(fr.astype(np.uint8))
+    vw.release()
+
+
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("-i", "--input", required=True, help="video file or frames dir")
-    ap.add_argument("-o", "--output-folder", required=True)
-    ap.add_argument("--input_frame_rate", type=float, default=30.0)
-    ap.add_argument("--output_height", type=int, default=None)
-    ap.add_argument("--output_width", type=int, default=None)
-    ap.add_argument("--dvs_params", choices=["clean", "noisy"], default="clean")
-    ap.add_argument("--pos_thres", type=float, default=None)
-    ap.add_argument("--neg_thres", type=float, default=None)
-    ap.add_argument("--sigma_thres", type=float, default=None)
-    ap.add_argument("--cutoff_hz", type=float, default=None)
-    ap.add_argument("--leak_rate_hz", type=float, default=None)
-    ap.add_argument("--shot_noise_rate_hz", type=float, default=None)
-    ap.add_argument("--refractory_period", type=float, default=None)
-    ap.add_argument("--slomo_upsample", type=int, default=1,
-                    help="SuperSloMo interpolation factor (1 = off)")
-    ap.add_argument("--dvs_exposure", nargs="+", default=["duration", "0.01"],
-                    help="duration SECONDS | count N | area_count N DIM")
-    ap.add_argument("--dvs_text", default=None)
-    ap.add_argument("--dvs_aedat2", default=None)
-    ap.add_argument("--dvs_h5", default=None)
-    ap.add_argument("--no_frames", action="store_true")
+    ap = argparse.ArgumentParser(
+        description="DVS event-camera simulation (v2e equivalent)"
+    )
+    inp = ap.add_argument_group("Input file handling")
+    inp.add_argument("-i", "--input", default=None, help="video file or frames dir")
+    inp.add_argument("--input_frame_rate", type=float, default=30.0)
+    inp.add_argument("--input_slowmotion_factor", type=float, default=1.0,
+                     help="source video is already slowed by this factor")
+    inp.add_argument("--start_time", type=float, default=None)
+    inp.add_argument("--stop_time", type=float, default=None)
+    inp.add_argument("--crop", type=int, nargs=4, default=None,
+                     metavar=("LEFT", "RIGHT", "TOP", "BOTTOM"))
+
+    syn = ap.add_argument_group("Synthetic input")
+    syn.add_argument("--synthetic_input", default=None,
+                     help="python module exposing a SyntheticInput subclass")
+
+    outg = ap.add_argument_group("Output: General")
+    outg.add_argument("-o", "--output-folder", "--output_folder",
+                      dest="output_folder", default="v2e-output")
+    outg.add_argument("--overwrite", action="store_true")
+    outg.add_argument("--unique_output_folder",
+                      action=argparse.BooleanOptionalAction, default=True)
+    outg.add_argument("--output_in_place", action="store_true")
+    outg.add_argument("--avi_frame_rate", type=float, default=30.0)
+
+    tsg = ap.add_argument_group("DVS timestamp resolution")
+    tsg.add_argument("--auto_timestamp_resolution", action="store_true",
+                     help="choose the SloMo upsampling so optical flow "
+                          "<= 1 px per interpolated frame")
+    tsg.add_argument("--timestamp_resolution", type=float, default=None,
+                     help="desired DVS timestamp resolution in seconds")
+
+    mdl = ap.add_argument_group("DVS model")
+    mdl.add_argument("--output_height", type=int, default=None)
+    mdl.add_argument("--output_width", type=int, default=None)
+    mdl.add_argument("--dvs_params", choices=["clean", "noisy"], default="clean")
+    mdl.add_argument("--pos_thres", type=float, default=None)
+    mdl.add_argument("--neg_thres", type=float, default=None)
+    mdl.add_argument("--sigma_thres", type=float, default=None)
+    mdl.add_argument("--cutoff_hz", type=float, default=None)
+    mdl.add_argument("--leak_rate_hz", type=float, default=None)
+    mdl.add_argument("--shot_noise_rate_hz", type=float, default=None)
+    mdl.add_argument("--leak_jitter_fraction", type=float, default=None)
+    mdl.add_argument("--noise_rate_cov_decades", type=float, default=None)
+    mdl.add_argument("--refractory_period", type=float, default=None)
+    mdl.add_argument("--dvs_emulator_seed", type=int, default=None)
+    mdl.add_argument("--show_dvs_model_state", nargs="*", default=None,
+                     help="(GUI-only; accepted and ignored headless)")
+    cam = ap.add_argument_group("DVS camera sizes")
+    cam.add_argument("--dvs128", action="store_true")
+    cam.add_argument("--dvs240", action="store_true")
+    cam.add_argument("--dvs346", action="store_true")
+    cam.add_argument("--dvs640", action="store_true")
+    cam.add_argument("--dvs1024", action="store_true")
+
+    slo = ap.add_argument_group("SloMo upsampling")
+    slo.add_argument("--disable_slomo", action="store_true")
+    slo.add_argument("--slomo_model", default=None,
+                     help="SuperSloMo39 torch .ckpt to load")
+    slo.add_argument("--slomo_upsample", type=int, default=1,
+                     help="fixed SuperSloMo interpolation factor (1 = off)")
+    slo.add_argument("--batch_size", type=int, default=4)
+    slo.add_argument("--vid_orig", default=None,
+                     help="write the (possibly resized) input as avi")
+    slo.add_argument("--vid_slomo", default=None,
+                     help="write the slomo-upsampled video as avi")
+
+    vid = ap.add_argument_group("Output: DVS video")
+    vid.add_argument("--dvs_exposure", nargs="+", default=["duration", "0.01"],
+                     help="duration SECONDS | count N | area_count N DIM")
+    vid.add_argument("--dvs_vid", default="dvs-video.avi")
+    vid.add_argument("--dvs_vid_full_scale", type=int, default=2)
+    vid.add_argument("--skip_video_output", action="store_true")
+    vid.add_argument("--no_preview", action="store_true",
+                     help="(GUI-only; accepted and ignored headless)")
+    vid.add_argument("--frame_rate", type=float, default=None,
+                     help="fixed event-frame rate (overrides exposure duration)")
+    vid.add_argument("--no_frames", action="store_true")
+
+    evo = ap.add_argument_group("Output: DVS events")
+    evo.add_argument("--dvs_text", default=None)
+    evo.add_argument("--dvs_aedat2", default=None)
+    evo.add_argument("--dvs_h5", default=None)
+    evo.add_argument("--dvs_numpy", default=None)
+    evo.add_argument("--davis_output", action="store_true",
+                     help="(unsupported, like the reference's synthetic "
+                          "path: v2e.py warns and continues)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     import dataclasses
+    import importlib
     import time
 
     import cv2
@@ -89,15 +220,46 @@ def main():
     )
     from spacecraft_pose_estimation_tpu.events import io as ev_io
     from spacecraft_pose_estimation_tpu.events import renderer as R
+    from spacecraft_pose_estimation_tpu.events.synthetic_input import SyntheticInput
 
-    os.makedirs(args.output_folder, exist_ok=True)
+    if args.input is None and args.synthetic_input is None:
+        ap.error("one of --input / --synthetic_input is required")
+    if args.davis_output:
+        print("WARNING: --davis_output is not supported; continuing without it")
+
+    out_folder = resolve_output_folder(args)
+    os.makedirs(out_folder, exist_ok=True)
     # write args info file (v2e_args.write_args_info semantics)
-    with open(os.path.join(args.output_folder, "info.txt"), "w") as f:
+    with open(os.path.join(out_folder, "info.txt"), "w") as f:
         for k, v in sorted(vars(args).items()):
             f.write(f"{k}: {v}\n")
 
     t0 = time.time()
-    frames = load_frames(args.input, args.output_height, args.output_width)
+    out_w, out_h = set_output_dimension(args)
+    in_rate = args.input_frame_rate / max(args.input_slowmotion_factor, 1e-9)
+
+    if args.synthetic_input:
+        mod = importlib.import_module(args.synthetic_input)
+        cls = next(
+            v for v in vars(mod).values()
+            if isinstance(v, type) and issubclass(v, SyntheticInput)
+            and v is not SyntheticInput
+        )
+        src = cls(width=out_w or 346, height=out_h or 260)
+        frames = np.asarray(src.frames_array(), np.float32)
+        in_rate = src.frame_rate
+    else:
+        frames = load_frames(args.input, out_h, out_w)
+
+    if args.start_time is not None or args.stop_time is not None:
+        i0 = int((args.start_time or 0.0) * in_rate)
+        i1 = int(args.stop_time * in_rate) if args.stop_time is not None else len(frames)
+        frames = frames[max(i0, 0):max(i1, i0 + 2)]
+    if args.crop is not None:
+        left, right, top, bottom = args.crop
+        h0, w0 = frames.shape[1:3]
+        frames = frames[:, top:h0 - bottom or None, left:w0 - right or None]
+
     n, h, w = frames.shape
     print(f"loaded {n} frames of {w}x{h}")
 
@@ -108,36 +270,92 @@ def main():
         ("sigma_thres", "sigma_thres"), ("cutoff_hz", "cutoff_hz"),
         ("leak_rate_hz", "leak_rate_hz"), ("shot_noise_rate_hz", "shot_noise_rate_hz"),
         ("refractory_period", "refractory_period_s"),
+        ("leak_jitter_fraction", "leak_jitter_fraction"),
+        ("noise_rate_cov_decades", "noise_rate_cov_decades"),
     ]:
         v = getattr(args, name)
         if v is not None:
             overrides[field] = v
     cfg = dataclasses.replace(cfg, **overrides)
 
-    if args.slomo_upsample > 1:
-        from spacecraft_pose_estimation_tpu.events.slomo import SuperSloMo, interpolate_pair
+    if args.vid_orig:
+        write_avi(np.clip(frames, 0, 255), os.path.join(out_folder, args.vid_orig),
+                  args.avi_frame_rate)
 
+    # ---- SloMo upsampling factor -----------------------------------
+    upsample = max(args.slomo_upsample, 1)
+    if args.timestamp_resolution is not None and not args.disable_slomo:
+        upsample = max(upsample, int(np.ceil(1.0 / (in_rate * args.timestamp_resolution))))
+    use_auto = args.auto_timestamp_resolution and not args.disable_slomo
+    if args.disable_slomo:
+        upsample = 1
+
+    if upsample > 1 or use_auto:
+        from spacecraft_pose_estimation_tpu.events.slomo import (
+            SuperSloMo,
+            auto_upsampling_factor,
+            interpolate_pair,
+        )
+
+        # the SuperSloMo UNet's skip connections need 32-multiple dims;
+        # edge-pad for the interpolation stage, crop back after
+        ph = (-h) % 32
+        pw = (-w) % 32
+        slomo_frames = np.pad(frames, ((0, 0), (0, ph), (0, pw)), mode="edge")
         model = SuperSloMo()
-        f01 = jnp.asarray(frames[:1, :, :, None] / 255.0)
+        f01 = jnp.asarray(slomo_frames[:1, :, :, None] / 255.0)
         variables = model.init(jax.random.key(0), f01, f01, jnp.asarray([0.5]))
+        if args.slomo_model:
+            import torch
+
+            from spacecraft_pose_estimation_tpu.events.slomo import slomo_torch_to_flax
+
+            ckpt = torch.load(args.slomo_model, map_location="cpu")
+            variables = {"params": slomo_torch_to_flax(ckpt)}
+            print(f"loaded SuperSloMo weights from {args.slomo_model}")
+        if use_auto:
+            # flow probe over all source pairs -> one conservative global
+            # factor (the reference picks per-batch factors,
+            # slomo.py:231-360; a global max is the fixed-shape
+            # equivalent: at least as finely interpolated everywhere)
+            flow_fn = jax.jit(
+                lambda a, b: jnp.max(jnp.abs(
+                    model.apply(variables, a, b, jnp.full((a.shape[0],), 0.5),
+                                return_flow=True)
+                ))
+            )
+            mf = 0.0
+            for i in range(0, n - 1, args.batch_size):
+                a = jnp.asarray(slomo_frames[i:i + args.batch_size, :, :, None] / 255.0)
+                b = jnp.asarray(slomo_frames[i + 1:i + 1 + args.batch_size, :, :, None] / 255.0)
+                m = min(len(a), len(b))
+                mf = max(mf, float(flow_fn(a[:m], b[:m])))
+            upsample = max(upsample, int(auto_upsampling_factor(jnp.asarray(mf))))
+            print(f"auto timestamp resolution: max flow {mf:.2f} px -> "
+                  f"upsampling {upsample}x")
         # reference schedule (slomo.py:405-433): each source pair yields
         # `upsampling_factor` midpoint frames at t=(i+0.5)/U; source
         # frames themselves are not re-emitted
         out_frames = []
         for i in range(n - 1):
-            a = jnp.asarray(frames[i : i + 1, :, :, None] / 255.0)
-            b = jnp.asarray(frames[i + 1 : i + 2, :, :, None] / 255.0)
-            mids = interpolate_pair(model, variables, a, b, args.slomo_upsample)
-            out_frames.extend(np.asarray(mids)[:, 0, :, :, 0] * 255.0)
+            a = jnp.asarray(slomo_frames[i: i + 1, :, :, None] / 255.0)
+            b = jnp.asarray(slomo_frames[i + 1: i + 2, :, :, None] / 255.0)
+            mids = interpolate_pair(model, variables, a, b, upsample)
+            out_frames.extend(np.asarray(mids)[:, 0, :h, :w, 0] * 255.0)
         frames = np.stack(out_frames)
         n = len(frames)
-        print(f"slomo upsampled to {n} frames "
-              "(untrained weights unless a checkpoint is loaded)")
+        print(f"slomo upsampled to {n} frames"
+              + ("" if args.slomo_model else
+                 " (untrained weights — pass --slomo_model for real interpolation)"))
+        if args.vid_slomo:
+            write_avi(np.clip(frames, 0, 255),
+                      os.path.join(out_folder, args.vid_slomo), args.avi_frame_rate)
 
-    dt = 1.0 / (args.input_frame_rate * max(args.slomo_upsample, 1))
+    dt = 1.0 / (in_rate * max(upsample, 1))
     timestamps = np.arange(n) * dt
 
-    state = init_state(jnp.asarray(frames[0]), jax.random.key(args.seed), cfg)
+    seed = args.dvs_emulator_seed if args.dvs_emulator_seed is not None else args.seed
+    state = init_state(jnp.asarray(frames[0]), jax.random.key(seed), cfg)
     state, out = emulate_sequence(
         state, jnp.asarray(frames[1:]), jnp.asarray(timestamps[1:], jnp.float32), cfg
     )
@@ -151,26 +369,32 @@ def main():
 
     events = ev_io.dense_to_events(out["pos"], out["neg"], out["ts"], out["iter_valid"])
     if args.dvs_text:
-        ev_io.write_events_csv(events, os.path.join(args.output_folder, args.dvs_text))
+        ev_io.write_events_csv(events, os.path.join(out_folder, args.dvs_text))
     if args.dvs_h5:
-        ev_io.write_events_h5(events, os.path.join(args.output_folder, args.dvs_h5))
+        ev_io.write_events_h5(events, os.path.join(out_folder, args.dvs_h5))
+    if args.dvs_numpy:
+        np.save(os.path.join(out_folder, args.dvs_numpy), np.asarray(events))
     if args.dvs_aedat2:
         wr = ev_io.AEDat2Writer(
-            os.path.join(args.output_folder, args.dvs_aedat2), 346, 260
+            os.path.join(out_folder, args.dvs_aedat2), 346, 260
         ) if (w, h) == (346, 260) else None
         if wr is None:
             sizes = [(346, 260), (640, 480), (1280, 720), (240, 180)]
             match = next(((sw, sh) for sw, sh in sizes if sw >= w and sh >= h), (1280, 720))
-            wr = ev_io.AEDat2Writer(os.path.join(args.output_folder, args.dvs_aedat2), *match)
+            wr = ev_io.AEDat2Writer(os.path.join(out_folder, args.dvs_aedat2), *match)
         wr.append(events)
         wr.close()
 
     if not args.no_frames:
         mode = args.dvs_exposure[0]
-        frames_dir = os.path.join(args.output_folder, "event-frames")
+        frames_dir = os.path.join(out_folder, "event-frames")
         os.makedirs(frames_dir, exist_ok=True)
-        if mode == "duration":
+        if args.frame_rate is not None:
+            mode = "duration"
+            exposure = 1.0 / args.frame_rate
+        elif mode == "duration":
             exposure = float(args.dvs_exposure[1])
+        if mode == "duration":
             num_out = max(int(np.ceil(video_time / exposure)), 1)
             imgs = R.render_duration(
                 out["pos"], out["neg"], out["ts"], out["iter_valid"],
@@ -191,13 +415,19 @@ def main():
                 out["pos"], out["neg"], out["ts"], out["iter_valid"], count, dim, num_out
             )
             times = np.asarray(times)
+        u8_stack = []
         for img, t in zip(np.asarray(imgs), np.atleast_1d(times)):
             if not np.isfinite(t):
                 continue
-            u8 = (img * 255).astype(np.uint8)
+            u8 = (np.asarray(img) * 255).astype(np.uint8)
+            u8_stack.append(u8)
             cv2.imwrite(os.path.join(frames_dir, f"{t * 1e3:.0f}.bmp"),
                         cv2.cvtColor(u8, cv2.COLOR_GRAY2BGR))
         print(f"wrote event frames to {frames_dir}")
+        if u8_stack and not args.skip_video_output:
+            avi = os.path.join(out_folder, args.dvs_vid)
+            write_avi(np.stack(u8_stack), avi, args.avi_frame_rate)
+            print(f"wrote {avi}")
 
 
 if __name__ == "__main__":
