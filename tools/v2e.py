@@ -246,7 +246,8 @@ def main():
             and v is not SyntheticInput
         )
         src = cls(width=out_w or 346, height=out_h or 260)
-        frames = np.asarray(src.frames_array(), np.float32)
+        frames, _ts = src.frames_array()
+        frames = np.asarray(frames, np.float32)
         in_rate = src.frame_rate
     else:
         frames = load_frames(args.input, out_h, out_w)
