@@ -85,7 +85,8 @@ def _window_kernel(oy_ref, ox3_ref, frames_ref, out_ref, patch, sem, *, hc, ww3)
     )
     cp.start()
     cp.wait()
-    out_ref[0] = patch[:].astype(out_ref.dtype)
+    # Mosaic has no direct uint8 -> bfloat16 cast; widen via int32/f32
+    out_ref[0] = patch[:].astype(jnp.int32).astype(jnp.float32).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "out_dtype", "interpret"))
