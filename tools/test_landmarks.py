@@ -111,6 +111,15 @@ def main():
 
     print(f"wrote {args.output}/{args.pred_name}.mat preds shape {preds.shape}")
 
+    # keypoint-OKS AP vs GT when the json carries labeled keypoints
+    # (dummy all-(2,2,2) real_test.json boxes give no signal -> skip)
+    joints = np.stack([examples.example(i)["joints"] for i in range(len(examples))])
+    if len(joints) and not np.allclose(joints[..., :2], 2.0):
+        res = landmark_loop.oks_metrics(preds, examples)
+        print(
+            "keypoint OKS AP {AP:.2f} AP50 {AP50:.2f} AP75 {AP75:.2f}".format(**res)
+        )
+
 
 if __name__ == "__main__":
     main()
