@@ -4,10 +4,15 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 vs_baseline is measured against the north-star target of 2000
 frames/s/chip (BASELINE.md) — >1.0 beats it.
 
-The primary metric is the int8 serving configuration (PTQ HRNet,
-models/hrnet_int8.py; fidelity-tested in tests/test_hrnet_int8.py); the
-"extra" field reports the bf16 training-parity configuration when
-BENCH_FULL=1.
+Round-3 serving configuration (the primary metric):
+  * uint8 frames (the true serving ingest contract — full-frame f32
+    tensors tripled HBM read traffic for nothing),
+  * Pallas windowed DMA crop (ops/pallas_crop.py) instead of the
+    full-frame interpolation contraction,
+  * int8 PTQ HRNet with the space-to-depth packed branch0
+    (ops/s2d.py — 128 MXU lanes instead of 32) and the strip-mined
+    fused layer1 kernel (ops/pallas_blocks.py) — both bit-exact vs the
+    per-op int8 walk.
 
 Timing methodology: this image's axon TPU backend is fully asynchronous
 (`block_until_ready` returns before execution) and has a ~25 ms host
@@ -15,6 +20,14 @@ round-trip. We therefore run the pipeline N times inside a single
 carry-chained `lax.scan` dispatch (the carry feeds each iteration so XLA
 cannot hoist or dedupe the body) and report the *marginal* cost between
 two N values — pure device throughput, dispatch overhead excluded.
+The carry perturbs SMALL tensors only (boxes / letterboxed keyframes):
+perturbing the frame clip would add GBs of artificial HBM traffic per
+iteration (the round-2 full-path numbers suffered exactly that).
+
+Wall-clock budget: every metric is emitted the moment it exists (the
+driver reads the last JSON line); the full-path extras are skipped when
+the elapsed time exceeds BENCH_BUDGET_S (default 3600 s) so the primary
+number always lands inside the driver window.
 """
 
 import json
@@ -24,8 +37,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# persistent XLA compilation cache: the fused graphs take 10-40 min to
-# compile through the remote compile service; cached re-runs are seconds
+# persistent XLA compilation cache (no-op under the axon remote compile
+# service, which bypasses it — harmless elsewhere)
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
@@ -33,6 +46,14 @@ os.environ.setdefault(
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 BASELINE_FPS = 2000.0
+T0 = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "3600"))
+
+CROP_WINDOW = (832, 896)  # covers the 750x630 padded serving box + slack
+
+
+def _progress(msg):
+    print(f"[bench] {msg} (t+{time.time() - T0:.0f}s)", file=sys.stderr, flush=True)
 
 
 def build(batch, mode="int8"):
@@ -56,7 +77,7 @@ def build(batch, mode="int8"):
     )(jax.random.key(0))
 
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.integers(0, 255, size=(batch, h, w, 3)).astype(np.float32))
+    frames = jnp.asarray(rng.integers(0, 255, size=(batch, h, w, 3)), jnp.uint8)
     boxes = jnp.asarray(
         np.tile(np.array([[700.0, 400.0, 500.0, 420.0]], np.float32), (batch, 1))
     )
@@ -73,26 +94,15 @@ def build(batch, mode="int8"):
         calib = normalize_crops(
             jnp.asarray(rng.integers(0, 255, size=(4, 512, 512, 3)), jnp.float32)
         )
-        q = quantize_hrnet(model, variables, calib)
-        # Pallas fused block chains: validate the lowering on a small
-        # smoke first; fall back to the per-op walk on any failure so
-        # the primary metric never dies on a kernel regression.
-        use_fused = os.environ.get("BENCH_FUSED", "0") == "1"
-        if use_fused:
-            try:
-                m_try = HRNetInt8(model.config, fused_blocks=True)
-                _ = float(jnp.sum(m_try.apply(q, calib[:2])))
-                _progress("fused block kernels: OK")
-            except Exception as e:
-                _progress(f"fused block kernels unavailable ({type(e).__name__}); per-op walk")
-                use_fused = False
-        serving_model = HRNetInt8(model.config, fused_blocks=use_fused)
+        q = quantize_hrnet(model, variables, calib, s2d=True)
+        serving_model = HRNetInt8(model.config)
         serving_vars = q
     else:
         serving_model, serving_vars = model, variables
 
     run = make_pose_pipeline(
-        serving_model, lm3d, K, dist, PipelineConfig(solver="gn", refine_iters=5)
+        serving_model, lm3d, K, dist,
+        PipelineConfig(solver="gn", refine_iters=5, crop_window=CROP_WINDOW),
     )
 
     from functools import partial
@@ -101,9 +111,7 @@ def build(batch, mode="int8"):
     def repeat(variables, frames, boxes, n):
         def body(carry, _):
             # carry-dependent perturbation forces truly serial execution.
-            # Perturb the tiny boxes array, NOT the frames: materialising a
-            # perturbed 3.5 GB frame tensor per iteration would add ~7 GB
-            # of artificial HBM traffic per step.
+            # Perturb the tiny boxes array, NOT the frames.
             bx = boxes + carry * 1e-20
             out = run(variables, frames, bx)
             c = carry + jnp.sum(out["t"]) * 1e-20
@@ -120,10 +128,6 @@ def build(batch, mode="int8"):
     return timed
 
 
-def _progress(msg):
-    print(f"[bench] {msg}", file=sys.stderr, flush=True)
-
-
 def measure(batch, mode, n_lo, n_hi, reps=3):
     _progress(f"building {mode} pipeline (batch {batch})")
     timed = build(batch, mode)
@@ -136,16 +140,20 @@ def measure(batch, mode, n_lo, n_hi, reps=3):
     return batch / dt
 
 
-def build_full_path(det_batch=8, det_every=16):
+def build_full_path(det_batch=8, det_every=16, det_kind=None):
     """TRUE fused serving path: detect -> best box -> crop -> HRNet ->
     decode -> PnP, one jitted graph over a clip of det_batch*det_every
     frames from one stream.
 
-    Serving mode: the detector (X101-FPN 768^2 bf16) runs on every
-    det_every-th frame; its argmax box (1.5x-padded by the crop stage,
-    models/rcnn.select_best_box semantics) is held for the following
-    det_every-1 frames — spacecraft inter-frame motion is far inside the
-    crop margin. det_every=1 gives the detect-EVERY-frame variant.
+    Serving mode: the detector runs on every det_every-th frame; its
+    argmax box (1.5x-padded by the crop stage, models/rcnn.select_best_box
+    semantics) is held for the following det_every-1 frames — spacecraft
+    inter-frame motion is far inside the crop margin. det_every=1 gives
+    the detect-EVERY-frame variant.
+
+    det_kind: 'r101_int8' (R101-FPN serving preset + int8 PTQ backbone —
+    dense convs quantize well, DEVNOTES round 2) or 'x101' (the parity
+    trunk, bf16). Default from BENCH_DET env, else r101_int8.
     """
     import jax
     import jax.numpy as jnp
@@ -157,6 +165,7 @@ def build_full_path(det_batch=8, det_every=16):
         quantize_hrnet,
     )
     from spacecraft_pose_estimation_tpu.models.rcnn import (
+        FASTER_RCNN_R101_SERVING,
         FASTER_RCNN_X101_SERVING,
         GeneralizedRCNN,
         select_best_box,
@@ -167,37 +176,63 @@ def build_full_path(det_batch=8, det_every=16):
         normalize_crops,
     )
 
+    det_kind = det_kind or os.environ.get("BENCH_DET", "r101_int8")
     num_joints = 11
     h, w = 1200, 1920
     det_size = 768
     clip = det_batch * det_every
 
-    det_model = GeneralizedRCNN(config=FASTER_RCNN_X101_SERVING, dtype=jnp.bfloat16)
+    det_cfg = (
+        FASTER_RCNN_R101_SERVING if det_kind.startswith("r101")
+        else FASTER_RCNN_X101_SERVING
+    )
+    det_model = GeneralizedRCNN(config=det_cfg, dtype=jnp.bfloat16)
     det_vars = jax.jit(lambda k: det_model.init(
         {"params": k}, jnp.zeros((1, det_size, det_size, 3)), train=False
     ))(jax.random.key(0))
+
+    rng = np.random.default_rng(0)
+    use_int8_backbone = det_kind.endswith("int8")
+    if use_int8_backbone:
+        from spacecraft_pose_estimation_tpu.models.backbone_int8 import (
+            backbone_int8_apply,
+            quantize_backbone,
+        )
+
+        mean = jnp.asarray(det_cfg.pixel_mean, jnp.float32)
+        std = jnp.asarray(det_cfg.pixel_std, jnp.float32)
+        calib_det = (
+            jnp.asarray(rng.integers(0, 255, (2, det_size, det_size, 3)), jnp.float32)
+            - mean
+        ) / std
+        qb = quantize_backbone(det_cfg.backbone, det_vars, calib_det)
+
+        def detect(v, lb):
+            feats = backbone_int8_apply(det_cfg.backbone, qb, (lb - mean) / std)
+            return det_model.apply(v, lb, train=False, precomputed_feats=feats)
+    else:
+        def detect(v, lb):
+            return det_model.apply(v, lb, train=False)
 
     lm_model = HRNet(config=POSE_HRNET_W32.with_joints(num_joints), dtype=jnp.bfloat16)
     lm_vars = jax.jit(
         lambda k: lm_model.init(k, jnp.zeros((1, 512, 512, 3)), train=False)
     )(jax.random.key(1))
-    rng = np.random.default_rng(0)
     calib = normalize_crops(
         jnp.asarray(rng.integers(0, 255, size=(4, 512, 512, 3)), jnp.float32)
     )
-    q_vars = quantize_hrnet(lm_model, lm_vars, calib)
+    q_vars = quantize_hrnet(lm_model, lm_vars, calib, s2d=True)
     serving_lm = HRNetInt8(lm_model.config)
 
     lm3d = rng.normal(size=(num_joints, 3)).astype(np.float32)
     K = np.array([[2988.6, 0, 960.0], [0, 2988.3, 600.0], [0, 0, 1]], np.float32)
     dist = np.zeros(5, np.float32)
     pose_run = make_pose_pipeline(
-        serving_lm, lm3d, K, dist, PipelineConfig(solver="gn", refine_iters=5)
+        serving_lm, lm3d, K, dist,
+        PipelineConfig(solver="gn", refine_iters=5, crop_window=CROP_WINDOW),
     )
 
-    frames = jnp.asarray(
-        rng.integers(0, 255, size=(clip, h, w, 3)).astype(np.float32)
-    )
+    frames = jnp.asarray(rng.integers(0, 255, size=(clip, h, w, 3)), jnp.uint8)
     # letterbox geometry (static): scale to fit det_size, pad bottom
     scale = det_size / max(h, w)
     lb_h, lb_w = int(round(h * scale)), int(round(w * scale))
@@ -207,14 +242,16 @@ def build_full_path(det_batch=8, det_every=16):
     @partial(jax.jit, static_argnames=("n",))
     def repeat(det_vars, q_vars, frames, n):
         def body(carry, _):
-            f = frames + carry * 1e-20
-            # device-side letterbox of the detector keyframes
-            keyframes = f[::det_every]
+            # device-side letterbox of the detector keyframes; the carry
+            # perturbs the SMALL letterboxed tensor (14 MB), not the
+            # 0.7-3.5 GB frame clip
+            keyframes = frames[::det_every].astype(jnp.float32)
             lb = jax.image.resize(
                 keyframes, (det_batch, lb_h, lb_w, 3), method="bilinear"
             )
             lb = jnp.pad(lb, ((0, 0), (0, det_size - lb_h), (0, det_size - lb_w), (0, 0)))
-            dets = det_model.apply(det_vars, lb, train=False)
+            lb = lb + carry * 1e-20
+            dets = detect(det_vars, lb)
             best = select_best_box(dets, (det_size, det_size)) / scale
             boxes_xywh = jnp.stack(
                 [best[:, 0], best[:, 1], best[:, 2] - best[:, 0], best[:, 3] - best[:, 1]],
@@ -222,7 +259,7 @@ def build_full_path(det_batch=8, det_every=16):
             )
             # hold each keyframe box for its det_every-frame window
             boxes_all = jnp.repeat(boxes_xywh, det_every, axis=0)
-            out = pose_run(q_vars, f, boxes_all)
+            out = pose_run(q_vars, frames, boxes_all)
             c = carry + jnp.sum(out["t"]) * 1e-20
             return c, None
 
@@ -254,7 +291,8 @@ def main():
 
     fps = measure(batch, "int8", n_lo, n_hi)
     _progress(f"primary int8 fps: {fps:.1f}")
-    extra = {"mode": "int8_serving", "batch": batch}
+    extra = {"mode": "int8_s2d_serving", "batch": batch,
+             "crop_window": list(CROP_WINDOW)}
 
     def emit():
         print(
@@ -271,8 +309,7 @@ def main():
         )
 
     # emit the primary result IMMEDIATELY: the full-path extras compile
-    # two more large graphs (~15-20 min each through the remote compile
-    # service, no local cache) and a driver timeout must not lose the
+    # two more large graphs and a driver timeout must not lose the
     # primary number. A second, enriched JSON line replaces this one if
     # the extras complete (drivers reading either the first or the last
     # JSON line get a valid result).
@@ -280,23 +317,27 @@ def main():
 
     if os.environ.get("BENCH_FULL"):
         extra["bf16_fps"] = round(measure(batch, "bf16", n_lo, n_hi), 2)
-
-    # TRUE full path (VERDICT r1 #3): detect -> best box -> crop ->
-    # HRNet -> PnP in one graph. Two serving points: detector on every
-    # frame, and the tracked mode (detect every 16th frame, hold box).
-    if not os.environ.get("BENCH_SKIP_FULL_PATH"):
-        try:
-            _progress("full path: detect every frame")
-            extra["full_path_det_every_frame_fps"] = round(
-                measure_full_path(det_batch=8, det_every=1), 2
-            )
-            _progress("full path: detect every 16th frame")
-            extra["full_path_det_every_16_fps"] = round(
-                measure_full_path(det_batch=8, det_every=16), 2
-            )
-        except Exception as e:  # keep the primary metric robust
-            extra["full_path_error"] = f"{type(e).__name__}: {e}"[:200]
         emit()
+
+    # TRUE full path: detect -> best box -> crop -> HRNet -> PnP in one
+    # graph. Two serving points: detector on every frame, and the
+    # tracked mode (detect every 16th frame, hold box).
+    if not os.environ.get("BENCH_SKIP_FULL_PATH"):
+        for key, kwargs in (
+            ("full_path_det_every_frame_fps", dict(det_batch=8, det_every=1)),
+            ("full_path_det_every_16_fps", dict(det_batch=8, det_every=16)),
+        ):
+            if time.time() - T0 > BUDGET_S:
+                extra["budget_skipped"] = key
+                _progress(f"budget exceeded; skipping {key}")
+                emit()
+                break
+            try:
+                _progress(f"full path: {key}")
+                extra[key] = round(measure_full_path(**kwargs), 2)
+            except Exception as e:  # keep the primary metric robust
+                extra[key + "_error"] = f"{type(e).__name__}: {e}"[:200]
+            emit()
 
 
 if __name__ == "__main__":
