@@ -24,6 +24,7 @@ same walk, so the two can never drift structurally.
 
 from __future__ import annotations
 
+import os
 from typing import Any, NamedTuple
 
 import jax
@@ -334,11 +335,13 @@ class _Int8Ops:
         f = y.astype(jnp.float32) * c2["m"] + c2["b"]
         if relu:
             f = jnp.maximum(f, 0)
+        if out_layout == "odd" and os.environ.get("_SPE_S2D_NO_MASK") != "1":
+            # fold the structural-slot zeroing into the pre-round value
+            # (same fusion group as the requant epilogue — a separate
+            # int8 `where` pass costs an extra HBM round trip per conv)
+            _, hp, wp, c4 = f.shape
+            f = f * s2d_ops.odd_zero_mask(hp, wp, c4 // 4, dtype=jnp.float32)
         q8 = jnp.clip(jnp.round(f), -127, 127).astype(jnp.int8)
-        if out_layout == "odd":
-            _, hp, wp, c4 = q8.shape
-            mask = s2d_ops.odd_zero_mask(hp, wp, c4 // 4, dtype=jnp.bool_)
-            q8 = jnp.where(mask, q8, jnp.int8(0))
         return _Handle(q8, None, name, out_layout)
 
     def add(self, name, hs, relu):

@@ -285,7 +285,9 @@ def fused_bottleneck_chain(
 
 
 def _bottleneck_strip_kernel(
-    x_ref,                        # (B, H+2*halo, W, Cin0) int8 in HBM (ANY)
+    x_ref,                        # (B*(H+2*halo), W, Cin0) int8 in HBM (ANY);
+                                  # 3-D on purpose — 4-D ANY-ref DMA slicing
+                                  # crashed the Mosaic compile helper
     w1_ref, m1_ref, b1_ref,
     w2_ref, m2_ref, b2_ref,
     w3_ref, m3_ref, b3_ref,
@@ -307,8 +309,9 @@ def _bottleneck_strip_kernel(
     b = pl.program_id(0)
     si = pl.program_id(1)
     rows = strip + 2 * halo
+    hp = pl.num_programs(1) * strip + 2 * halo  # padded image height
     cp = pltpu.make_async_copy(
-        x_ref.at[b, pl.ds(si * strip, rows), :, :], x0s_ref, sem
+        x_ref.at[pl.ds(b * hp + si * strip, rows), :, :], x0s_ref, sem
     )
     cp.start()
     cp.wait()
@@ -368,6 +371,7 @@ def fused_bottleneck_chain_strips(
     halo = nblocks  # one row of validity per 3x3 conv
     assert h % strip == 0, (h, strip)
     xp = jnp.pad(x, ((0, 0), (halo, halo), (0, 0), (0, 0)))
+    xp = xp.reshape(b * (h + 2 * halo), wdt, cin0)  # 3-D for the DMA ref
     rows = strip + 2 * halo
     on_tpu = jax.devices()[0].platform == "tpu"
     kernel = functools.partial(

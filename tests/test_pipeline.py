@@ -144,10 +144,11 @@ class TestWindowedCropPipeline:
         model = HRNet(config=dataclasses.replace(HRNET_TINY, num_joints=6))
         variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False)
         rng = np.random.default_rng(3)
-        frames = jnp.asarray(rng.integers(0, 255, (2, 160, 256, 3)), jnp.uint8)
+        frames = jnp.asarray(rng.integers(0, 255, (2, 224, 256, 3)), jnp.uint8)
         boxes = jnp.asarray([[60.0, 40.0, 50.0, 40.0], [120.0, 70.0, 60.0, 48.0]])
         base = PipelineConfig(image_size=(64, 64), solver="none", warp_dtype="float32")
-        windowed = dataclasses.replace(base, crop_window=(128, 192))
+        # window coverage (h-33, w-129) must exceed the 90-px padded box
+        windowed = dataclasses.replace(base, crop_window=(192, 256))
         out_full = jax.jit(make_landmark_stage(model, base))(
             variables, frames.astype(jnp.float32), boxes
         )
