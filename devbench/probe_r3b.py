@@ -49,99 +49,6 @@ def report(name, t):
 B = 128
 rng = np.random.default_rng(0)
 
-# ---- 1. strips kernel: layer1 shapes ---------------------------------
-print("== strips kernel ==", flush=True)
-try:
-    from spacecraft_pose_estimation_tpu.ops.pallas_blocks import (
-        fused_bottleneck_chain_strips,
-    )
-
-    def rw(*shape, hi=40):
-        return jnp.asarray(rng.integers(-hi, hi, shape), jnp.int8)
-
-    def rf(*shape):
-        return jnp.asarray(rng.uniform(5e-4, 2e-3, shape), jnp.float32)
-
-    cin0, cm, cout, nb = 64, 64, 256, 4
-    w1 = np.zeros((nb, cout, cm), np.int8)
-    w1[0, :cin0] = np.asarray(rw(cin0, cm))
-    for k in range(1, nb):
-        w1[k] = np.asarray(rw(cout, cm))
-    params = dict(
-        w1=jnp.asarray(w1), m1=rf(nb, cm), b1=rf(nb, cm),
-        w2=rw(nb, 3, 3, cm, cm), m2=rf(nb, cm), b2=rf(nb, cm),
-        w3=rw(nb, cm, cout), m3=rf(nb, cout), b3=rf(nb, cout),
-        wd=rw(cin0, cout), md=rf(cout), bd=rf(cout),
-        coeffs=rf(nb, 2),
-    )
-    x64 = jnp.asarray(rng.integers(-80, 80, (B, 128, 128, cin0)), jnp.int8)
-
-    def strips_body(x, c):
-        xi = (x.astype(jnp.int32) + (c * 1e-20).astype(jnp.int32)).astype(jnp.int8)
-        out = fused_bottleneck_chain_strips(
-            xi, params["w1"], params["m1"], params["b1"],
-            params["w2"], params["m2"], params["b2"],
-            params["w3"], params["m3"], params["b3"],
-            params["wd"], params["md"], params["bd"],
-            params["coeffs"], nb, strip=32,
-        )
-        return jnp.sum(out.astype(jnp.float32)) * 1e-9
-
-    t = marginal(scanner(strips_body), x64)
-    report("layer1 strips kernel b128 128^2", t)
-except Exception as e:
-    print(f"strips kernel FAILED: {type(e).__name__}: {str(e)[:300]}", flush=True)
-
-# per-op XLA reference of the same chain
-
-
-def perop_body(x, c):
-    xi = (x.astype(jnp.int32) + (c * 1e-20).astype(jnp.int32)).astype(jnp.int8)
-
-    def requant(f):
-        return jnp.clip(jnp.round(f), -127, 127).astype(jnp.int8)
-
-    cur = xi
-    for blk in range(4):
-        kin = 64 if blk == 0 else 256
-        src = cur
-        f1 = jax.lax.conv_general_dilated(
-            src, params["w1"][blk, :kin][None, None], (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)
-        x1 = requant(jnp.maximum(f1 * params["m1"][blk] + params["b1"][blk], 0))
-        y2 = jax.lax.conv_general_dilated(
-            x1, params["w2"][blk], (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)
-        x2 = requant(jnp.maximum(y2 * params["m2"][blk] + params["b2"][blk], 0))
-        f3 = jax.lax.conv_general_dilated(
-            x2, params["w3"][blk][None, None], (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)
-        x3 = requant(f3 * params["m3"][blk] + params["b3"][blk])
-        if blk == 0:
-            fr = jax.lax.conv_general_dilated(
-                src, params["wd"][None, None], (1, 1), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32)
-            r = requant(fr * params["md"] + params["bd"])
-        else:
-            r = cur
-        f = x3.astype(jnp.float32) * params["coeffs"][blk, 0] + r.astype(
-            jnp.float32
-        ) * params["coeffs"][blk, 1]
-        cur = requant(jnp.maximum(f, 0))
-    return jnp.sum(cur.astype(jnp.float32)) * 1e-9
-
-
-t = marginal(scanner(perop_body), x64)
-report("layer1 per-op XLA b128 128^2", t)
-
 # ---- 2. windowed crop decomposition ----------------------------------
 print("== crop ==", flush=True)
 from spacecraft_pose_estimation_tpu.ops import warp, pallas_crop, geometry
@@ -311,4 +218,98 @@ def pnp_body(kps, conf, c):
 
 t = marginal(scanner(pnp_body), kps, conf)
 report("pnp gn5 only", t)
+# ---- 1. strips kernel: layer1 shapes ---------------------------------
+print("== strips kernel ==", flush=True)
+try:
+    from spacecraft_pose_estimation_tpu.ops.pallas_blocks import (
+        fused_bottleneck_chain_strips,
+    )
+
+    def rw(*shape, hi=40):
+        return jnp.asarray(rng.integers(-hi, hi, shape), jnp.int8)
+
+    def rf(*shape):
+        return jnp.asarray(rng.uniform(5e-4, 2e-3, shape), jnp.float32)
+
+    cin0, cm, cout, nb = 64, 64, 256, 4
+    w1 = np.zeros((nb, cout, cm), np.int8)
+    w1[0, :cin0] = np.asarray(rw(cin0, cm))
+    for k in range(1, nb):
+        w1[k] = np.asarray(rw(cout, cm))
+    params = dict(
+        w1=jnp.asarray(w1), m1=rf(nb, cm), b1=rf(nb, cm),
+        w2=rw(nb, 3, 3, cm, cm), m2=rf(nb, cm), b2=rf(nb, cm),
+        w3=rw(nb, cm, cout), m3=rf(nb, cout), b3=rf(nb, cout),
+        wd=rw(cin0, cout), md=rf(cout), bd=rf(cout),
+        coeffs=rf(nb, 2),
+    )
+    x64 = jnp.asarray(rng.integers(-80, 80, (B, 128, 128, cin0)), jnp.int8)
+
+    def strips_body(x, c):
+        xi = (x.astype(jnp.int32) + (c * 1e-20).astype(jnp.int32)).astype(jnp.int8)
+        out = fused_bottleneck_chain_strips(
+            xi, params["w1"], params["m1"], params["b1"],
+            params["w2"], params["m2"], params["b2"],
+            params["w3"], params["m3"], params["b3"],
+            params["wd"], params["md"], params["bd"],
+            params["coeffs"], nb, strip=32,
+        )
+        return jnp.sum(out.astype(jnp.float32)) * 1e-9
+
+    t = marginal(scanner(strips_body), x64)
+    report("layer1 strips kernel b128 128^2", t)
+except Exception as e:
+    print(f"strips kernel FAILED: {type(e).__name__}: {str(e)[:300]}", flush=True)
+
+# per-op XLA reference of the same chain
+
+
+def perop_body(x, c):
+    xi = (x.astype(jnp.int32) + (c * 1e-20).astype(jnp.int32)).astype(jnp.int8)
+
+    def requant(f):
+        return jnp.clip(jnp.round(f), -127, 127).astype(jnp.int8)
+
+    cur = xi
+    for blk in range(4):
+        kin = 64 if blk == 0 else 256
+        src = cur
+        f1 = jax.lax.conv_general_dilated(
+            src, params["w1"][blk, :kin][None, None], (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        x1 = requant(jnp.maximum(f1 * params["m1"][blk] + params["b1"][blk], 0))
+        y2 = jax.lax.conv_general_dilated(
+            x1, params["w2"][blk], (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        x2 = requant(jnp.maximum(y2 * params["m2"][blk] + params["b2"][blk], 0))
+        f3 = jax.lax.conv_general_dilated(
+            x2, params["w3"][blk][None, None], (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        x3 = requant(f3 * params["m3"][blk] + params["b3"][blk])
+        if blk == 0:
+            fr = jax.lax.conv_general_dilated(
+                src, params["wd"][None, None], (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            r = requant(fr * params["md"] + params["bd"])
+        else:
+            r = cur
+        f = x3.astype(jnp.float32) * params["coeffs"][blk, 0] + r.astype(
+            jnp.float32
+        ) * params["coeffs"][blk, 1]
+        cur = requant(jnp.maximum(f, 0))
+    return jnp.sum(cur.astype(jnp.float32)) * 1e-9
+
+
+t = marginal(scanner(perop_body), x64)
+report("layer1 per-op XLA b128 128^2", t)
+
+
 print("probe_r3b done", flush=True)
