@@ -73,10 +73,12 @@ def ext_body(frames, boxes, c, dtype):
     return jnp.sum(wins.astype(jnp.float32)[:, ::97, ::131]) * 1e-9
 
 
-t = marginal(scanner(partial(ext_body, dtype=jnp.bfloat16)), frames_u8, boxes)
-report("extract_windows -> bf16", t)
-t = marginal(scanner(partial(ext_body, dtype=jnp.uint8)), frames_u8, boxes)
-report("extract_windows -> u8", t)
+
+try:
+    t = marginal(scanner(partial(ext_body, dtype=jnp.uint8)), frames_u8, boxes)
+    report("extract_windows -> u8", t)
+except Exception as e:
+    print(f"extract u8 FAILED: {type(e).__name__}: {str(e)[:160]}", flush=True)
 
 wins_pre = jnp.asarray(rng.integers(0, 255, (B, wh, ww, 3)), jnp.uint8).astype(jnp.bfloat16)
 oys = jnp.zeros(B, jnp.int32)
@@ -117,7 +119,25 @@ def full_win_body(frames, boxes, c):
 
 
 t = marginal(scanner(full_win_body), frames_u8, boxes)
-report("crop_and_resize_window e2e", t)
+report("crop_and_resize_window e2e (hcontract)", t)
+
+
+def copy_win_body(frames, boxes, c):
+    bx = boxes + c * 1e-20
+    centers, scales = cs(bx)
+    scales = pallas_crop.clamp_scales_to_window(scales, (512, 512), window)
+    crops = pallas_crop.crop_and_resize_window(
+        frames, centers, scales, (512, 512), window, compute_dtype=jnp.bfloat16,
+        mode="copy",
+    )
+    return jnp.sum(crops[:, ::31, ::37]) * 1e-9
+
+
+try:
+    t = marginal(scanner(copy_win_body), frames_u8, boxes)
+    report("crop_and_resize_window e2e (copy)", t)
+except Exception as e:
+    print(f"copy mode FAILED: {type(e).__name__}: {str(e)[:160]}", flush=True)
 
 
 def full_frame_body(frames, boxes, c):

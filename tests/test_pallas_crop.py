@@ -83,3 +83,25 @@ def test_bf16_compute_close(rng):
     )(frames.astype(jnp.float32), centers, scales)
     # bf16 taps: error <= ~1 grey level on 0..255 data
     assert float(jnp.max(jnp.abs(got - want))) < 2.0
+
+
+def test_hcontract_mode_matches_copy_mode(rng):
+    """mode='hcontract' (in-kernel H contraction) == mode='copy' to bf16
+    tap rounding."""
+    frames = _frames(rng)
+    centers = jnp.asarray([[160.0, 100.0], [80.0, 60.0], [250.0, 150.0]], jnp.float32)
+    scales = jnp.full((3, 2), 90.0 / PIXEL_STD, jnp.float32)
+    window = (160, 256)
+    a = pallas_crop.crop_and_resize_window(
+        frames, centers, scales, (64, 64), window, compute_dtype=jnp.bfloat16,
+        mode="hcontract",
+    )
+    b = pallas_crop.crop_and_resize_window(
+        frames, centers, scales, (64, 64), window, compute_dtype=jnp.bfloat16,
+        mode="copy",
+    )
+    assert float(jnp.max(jnp.abs(a - b))) < 2.0
+    ref = jax.vmap(
+        lambda im, c, s: warp.crop_and_resize_mxu(im, c, s, (64, 64))
+    )(frames.astype(jnp.float32), centers, scales)
+    assert float(jnp.max(jnp.abs(a - ref))) < 2.5
