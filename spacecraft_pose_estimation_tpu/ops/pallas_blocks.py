@@ -317,34 +317,46 @@ def _bottleneck_strip_kernel(
     cp.wait()
     pad_ref[...] = jnp.zeros((rows + 2, wdt + 2, cm), jnp.int8)
 
-    for blk in range(nblocks):
-        kin = cin0 if blk == 0 else cout
-        src = (x0s_ref if blk == 0 else xss_ref)[...].reshape(
-            rows * wdt, kin
-        )
-        f1 = _dot_i8(src, w1_ref[blk, :kin, :]).astype(jnp.float32)
+    # block 0 reads the narrow x0 input + projection shortcut; it stays
+    # outside the loop (different input width); blocks 1.. run under
+    # fori_loop so the Mosaic program stays small (the fully unrolled
+    # 4-block version hung the remote compile helper)
+    def run_block(blk, src_flat, residual_flat):
+        f1 = _dot_i8(src_flat, jax.lax.dynamic_index_in_dim(
+            w1_ref[...], blk, axis=0, keepdims=False
+        )[: src_flat.shape[1], :]).astype(jnp.float32)
+        m1 = jax.lax.dynamic_index_in_dim(m1_ref[...], blk, 0, keepdims=False)
+        b1 = jax.lax.dynamic_index_in_dim(b1_ref[...], blk, 0, keepdims=False)
         pad_ref[1 : rows + 1, 1 : wdt + 1, :] = _requant(
-            jnp.maximum(f1 * m1_ref[blk] + b1_ref[blk], 0.0)
+            jnp.maximum(f1 * m1 + b1, 0.0)
         ).reshape(rows, wdt, cm)
-        y2 = _conv3x3_rows(pad_ref, w2_ref[blk], 0, rows, wdt, cm)
+        w2 = jax.lax.dynamic_index_in_dim(w2_ref[...], blk, 0, keepdims=False)
+        y2 = _conv3x3_rows(pad_ref, w2, 0, rows, wdt, cm)
+        m2 = jax.lax.dynamic_index_in_dim(m2_ref[...], blk, 0, keepdims=False)
+        b2 = jax.lax.dynamic_index_in_dim(b2_ref[...], blk, 0, keepdims=False)
         x2s_ref[...] = _requant(
-            jnp.maximum(y2.astype(jnp.float32) * m2_ref[blk] + b2_ref[blk], 0.0)
+            jnp.maximum(y2.astype(jnp.float32) * m2 + b2, 0.0)
         ).reshape(rows, wdt, cm)
-        f3 = _dot_i8(x2s_ref[...].reshape(rows * wdt, cm), w3_ref[blk]).astype(
-            jnp.float32
-        )
-        x3 = _requant(f3 * m3_ref[blk] + b3_ref[blk])
-        if blk == 0:
-            fr = _dot_i8(
-                x0s_ref[...].reshape(rows * wdt, cin0), wd_ref[...]
-            ).astype(jnp.float32)
-            r = _requant(fr * md_ref[...] + bd_ref[...])
-        else:
-            r = xss_ref[...].reshape(rows * wdt, cout)
-        f = x3.astype(jnp.float32) * coef_ref[blk, 0] + r.astype(
-            jnp.float32
-        ) * coef_ref[blk, 1]
+        w3 = jax.lax.dynamic_index_in_dim(w3_ref[...], blk, 0, keepdims=False)
+        f3 = _dot_i8(x2s_ref[...].reshape(rows * wdt, cm), w3).astype(jnp.float32)
+        m3 = jax.lax.dynamic_index_in_dim(m3_ref[...], blk, 0, keepdims=False)
+        b3 = jax.lax.dynamic_index_in_dim(b3_ref[...], blk, 0, keepdims=False)
+        x3 = _requant(f3 * m3 + b3)
+        cf = jax.lax.dynamic_index_in_dim(coef_ref[...], blk, 0, keepdims=False)
+        f = x3.astype(jnp.float32) * cf[0] + residual_flat.astype(jnp.float32) * cf[1]
         xss_ref[...] = _requant(jnp.maximum(f, 0.0)).reshape(rows, wdt, cout)
+
+    x0_flat = x0s_ref[...].reshape(rows * wdt, cin0)
+    fr = _dot_i8(x0_flat, wd_ref[...]).astype(jnp.float32)
+    shortcut = _requant(fr * md_ref[...] + bd_ref[...])
+    run_block(0, x0_flat, shortcut)
+
+    def body(blk, _):
+        run_block(blk, xss_ref[...].reshape(rows * wdt, cout),
+                  xss_ref[...].reshape(rows * wdt, cout))
+        return 0
+
+    jax.lax.fori_loop(1, nblocks, body, 0)
     out_ref[0] = xss_ref[halo : halo + strip, :, :]
 
 
