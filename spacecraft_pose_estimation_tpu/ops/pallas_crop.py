@@ -93,31 +93,37 @@ def _window_kernel(oy_ref, ox3_ref, frames_ref, out_ref, patch, sem, *, hc, ww3)
 
 
 def _hcontract_kernel(
-    oy_ref, ox3_ref, wy_ref, frames_ref, out_ref, patch, sem, *, wh, ww3, hc
+    oy_ref, ox3_ref, wy_ref, frames_ref, out_ref, patch, sem, *, wh, w3, ww3, hc
 ):
-    """DMA the window AND contract the H axis in-kernel:
-    out[o, w3] = sum_h Wy[o, h] * window[h, w3]. Emitting the
-    H-contracted (512, ww3) tensor instead of the raw window halves the
-    HBM traffic and runs the first warp matmul on the MXU while the
-    writeback of the previous image overlaps the next DMA."""
+    """DMA FULL-WIDTH row slabs and contract the H axis in-kernel.
+
+    Two lessons baked in (measured on v5e):
+    * a column-windowed HBM DMA is row-overhead-bound (~100 ns per
+      2.7 KB strided row = ~90 us per 848-row window, 11.6 ms/b128) —
+      full-width slabs are one contiguous burst (~7 us);
+    * emitting the H-contracted (out, ww3) tensor instead of the raw
+      window halves the writeback and puts the first warp matmul on the
+      MXU, overlapped with the next image's DMA. The column windowing
+      becomes a cheap VMEM slice (128-px-aligned lanes) feeding the dot.
+    """
     b = pl.program_id(0)
     oy = pl.multiple_of(oy_ref[b], _ALIGN_Y)
     ox3 = pl.multiple_of(ox3_ref[b], _ALIGN_X * 3)
-    cp = pltpu.make_async_copy(
-        frames_ref.at[b, pl.ds(oy, wh), pl.ds(ox3, ww3)], patch, sem
-    )
+    cp = pltpu.make_async_copy(frames_ref.at[b, pl.ds(oy, wh), :], patch, sem)
     cp.start()
     cp.wait()
     wy = wy_ref[0]  # (OUT, wh)
     n_chunks = wh // hc
     rem = wh - n_chunks * hc
 
+    def rows_bf16(r0, rows):
+        win = patch[pl.ds(r0, rows), pl.ds(ox3, ww3)]
+        return win.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
     def chunk(i, acc):
-        rows = patch[pl.ds(i * hc, hc), :]
-        rows_bf = rows.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
         wy_rows = jax.lax.dynamic_slice_in_dim(wy, i * hc, hc, axis=1)
         return acc + jax.lax.dot_general(
-            wy_rows, rows_bf,
+            wy_rows, rows_bf16(i * hc, hc),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -127,12 +133,8 @@ def _hcontract_kernel(
         jnp.zeros((wy.shape[0], ww3), jnp.float32),
     )
     if rem:
-        rows_bf = (
-            patch[pl.ds(n_chunks * hc, rem), :]
-            .astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
-        )
         acc = acc + jax.lax.dot_general(
-            wy[:, n_chunks * hc:], rows_bf,
+            wy[:, n_chunks * hc:], rows_bf16(n_chunks * hc, rem),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -199,7 +201,7 @@ def hcontract_windows(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     hc = 128 if wh >= 128 else wh
-    kernel = functools.partial(_hcontract_kernel, wh=wh, ww3=ww3, hc=hc)
+    kernel = functools.partial(_hcontract_kernel, wh=wh, w3=w * 3, ww3=ww3, hc=hc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
@@ -209,7 +211,7 @@ def hcontract_windows(
         ],
         out_specs=pl.BlockSpec((1, out_px, ww3), lambda i, oy, ox: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((wh, ww3), frames.dtype),
+            pltpu.VMEM((wh, w * 3), frames.dtype),  # full-width row slab
             pltpu.SemaphoreType.DMA,
         ],
     )
