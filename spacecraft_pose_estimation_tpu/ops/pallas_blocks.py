@@ -322,27 +322,23 @@ def _bottleneck_strip_kernel(
     # fori_loop so the Mosaic program stays small (the fully unrolled
     # 4-block version hung the remote compile helper)
     def run_block(blk, src_flat, residual_flat):
-        f1 = _dot_i8(src_flat, jax.lax.dynamic_index_in_dim(
-            w1_ref[...], blk, axis=0, keepdims=False
-        )[: src_flat.shape[1], :]).astype(jnp.float32)
-        m1 = jax.lax.dynamic_index_in_dim(m1_ref[...], blk, 0, keepdims=False)
-        b1 = jax.lax.dynamic_index_in_dim(b1_ref[...], blk, 0, keepdims=False)
+        # ref-level dynamic indexing (w_ref[blk]) — dynamic_slice on
+        # VALUES has no Pallas-TPU lowering
+        f1 = _dot_i8(
+            src_flat, w1_ref[blk, : src_flat.shape[1], :]
+        ).astype(jnp.float32)
         pad_ref[1 : rows + 1, 1 : wdt + 1, :] = _requant(
-            jnp.maximum(f1 * m1 + b1, 0.0)
+            jnp.maximum(f1 * m1_ref[blk] + b1_ref[blk], 0.0)
         ).reshape(rows, wdt, cm)
-        w2 = jax.lax.dynamic_index_in_dim(w2_ref[...], blk, 0, keepdims=False)
-        y2 = _conv3x3_rows(pad_ref, w2, 0, rows, wdt, cm)
-        m2 = jax.lax.dynamic_index_in_dim(m2_ref[...], blk, 0, keepdims=False)
-        b2 = jax.lax.dynamic_index_in_dim(b2_ref[...], blk, 0, keepdims=False)
+        y2 = _conv3x3_rows(pad_ref, w2_ref[blk], 0, rows, wdt, cm)
         x2s_ref[...] = _requant(
-            jnp.maximum(y2.astype(jnp.float32) * m2 + b2, 0.0)
+            jnp.maximum(y2.astype(jnp.float32) * m2_ref[blk] + b2_ref[blk], 0.0)
         ).reshape(rows, wdt, cm)
-        w3 = jax.lax.dynamic_index_in_dim(w3_ref[...], blk, 0, keepdims=False)
-        f3 = _dot_i8(x2s_ref[...].reshape(rows * wdt, cm), w3).astype(jnp.float32)
-        m3 = jax.lax.dynamic_index_in_dim(m3_ref[...], blk, 0, keepdims=False)
-        b3 = jax.lax.dynamic_index_in_dim(b3_ref[...], blk, 0, keepdims=False)
-        x3 = _requant(f3 * m3 + b3)
-        cf = jax.lax.dynamic_index_in_dim(coef_ref[...], blk, 0, keepdims=False)
+        f3 = _dot_i8(
+            x2s_ref[...].reshape(rows * wdt, cm), w3_ref[blk]
+        ).astype(jnp.float32)
+        x3 = _requant(f3 * m3_ref[blk] + b3_ref[blk])
+        cf = coef_ref[blk]
         f = x3.astype(jnp.float32) * cf[0] + residual_flat.astype(jnp.float32) * cf[1]
         xss_ref[...] = _requant(jnp.maximum(f, 0.0)).reshape(rows, wdt, cout)
 

@@ -117,21 +117,18 @@ def _hcontract_kernel(
     rem = wh - n_chunks * hc
 
     def rows_bf16(r0, rows):
-        win = patch[pl.ds(r0, rows), pl.ds(ox3, ww3)]
+        win = patch[pl.ds(r0 + 0, rows), pl.ds(ox3, ww3)]
         return win.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
 
-    def chunk(i, acc):
-        wy_rows = jax.lax.dynamic_slice_in_dim(wy, i * hc, hc, axis=1)
-        return acc + jax.lax.dot_general(
-            wy_rows, rows_bf16(i * hc, hc),
+    # STATIC chunk loop: dynamic_slice on VALUES has no Pallas-TPU
+    # lowering (refs with pl.ds are fine) — wy row-slices must be static
+    acc = jnp.zeros((wy.shape[0], ww3), jnp.float32)
+    for i in range(n_chunks):
+        acc = acc + jax.lax.dot_general(
+            wy[:, i * hc:(i + 1) * hc], rows_bf16(i * hc, hc),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-
-    acc = jax.lax.fori_loop(
-        0, n_chunks, chunk,
-        jnp.zeros((wy.shape[0], ww3), jnp.float32),
-    )
     if rem:
         acc = acc + jax.lax.dot_general(
             wy[:, n_chunks * hc:], rows_bf16(n_chunks * hc, rem),
