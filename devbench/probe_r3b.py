@@ -74,11 +74,7 @@ def ext_body(frames, boxes, c, dtype):
 
 
 
-try:
-    t = marginal(scanner(partial(ext_body, dtype=jnp.uint8)), frames_u8, boxes)
-    report("extract_windows -> u8", t)
-except Exception as e:
-    print(f"extract u8 FAILED: {type(e).__name__}: {str(e)[:160]}", flush=True)
+
 
 wins_pre = jnp.asarray(rng.integers(0, 255, (B, wh, ww, 3)), jnp.uint8).astype(jnp.bfloat16)
 oys = jnp.zeros(B, jnp.int32)
@@ -104,8 +100,7 @@ def taps_body(wins, boxes, c):
     return jnp.sum(out[:, ::31, ::37]) * 1e-9
 
 
-t = marginal(scanner(taps_body), wins_pre, boxes)
-report("windowed tap einsums only", t)
+
 
 
 def full_win_body(frames, boxes, c):
@@ -118,8 +113,11 @@ def full_win_body(frames, boxes, c):
     return jnp.sum(crops[:, ::31, ::37]) * 1e-9
 
 
-t = marginal(scanner(full_win_body), frames_u8, boxes)
-report("crop_and_resize_window e2e (hcontract)", t)
+try:
+    t = marginal(scanner(full_win_body), frames_u8, boxes)
+    report("crop_and_resize_window e2e (hcontract)", t)
+except Exception as e:
+    print(f"hcontract FAILED: {type(e).__name__}: {str(e)[:300]}", flush=True)
 
 
 def copy_win_body(frames, boxes, c):
@@ -150,8 +148,7 @@ def full_frame_body(frames, boxes, c):
     return jnp.sum(crops[:, ::31, ::37]) * 1e-9
 
 
-t = marginal(scanner(full_frame_body), frames_u8, boxes)
-report("full-frame mxu crop (u8)", t)
+
 
 # ---- 3. s2d model ablations ------------------------------------------
 print("== s2d model ==", flush=True)

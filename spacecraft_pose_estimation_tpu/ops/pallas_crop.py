@@ -109,29 +109,31 @@ def _hcontract_kernel(
     b = pl.program_id(0)
     oy = pl.multiple_of(oy_ref[b], _ALIGN_Y)
     ox3 = pl.multiple_of(ox3_ref[b], _ALIGN_X * 3)
-    cp = pltpu.make_async_copy(frames_ref.at[b, pl.ds(oy, wh), :], patch, sem)
-    cp.start()
-    cp.wait()
     wy = wy_ref[0]  # (OUT, wh)
-    n_chunks = wh // hc
-    rem = wh - n_chunks * hc
+    # static row-chunk schedule; chunk STARTS stay 32-aligned (oy is)
+    chunks = [(i * hc, hc) for i in range(wh // hc)]
+    if wh % hc:
+        chunks.append((wh - wh % hc, wh % hc))
 
-    def rows_bf16(r0, rows):
-        win = patch[pl.ds(r0 + 0, rows), pl.ds(ox3, ww3)]
-        return win.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
-
-    # STATIC chunk loop: dynamic_slice on VALUES has no Pallas-TPU
-    # lowering (refs with pl.ds are fine) — wy row-slices must be static
-    acc = jnp.zeros((wy.shape[0], ww3), jnp.float32)
-    for i in range(n_chunks):
-        acc = acc + jax.lax.dot_general(
-            wy[:, i * hc:(i + 1) * hc], rows_bf16(i * hc, hc),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    def dma(slot, r0, rows):
+        return pltpu.make_async_copy(
+            frames_ref.at[b, pl.ds(oy + r0, rows), :],
+            patch.at[slot, pl.ds(0, rows), :],
+            sem.at[slot],
         )
-    if rem:
+
+    dma(0, *chunks[0]).start()
+    # STATIC loop: dynamic_slice on VALUES has no Pallas-TPU lowering
+    # (refs with pl.ds are fine) — wy row-slices must be static
+    acc = jnp.zeros((wy.shape[0], ww3), jnp.float32)
+    for i, (r0, rows) in enumerate(chunks):
+        if i + 1 < len(chunks):
+            dma((i + 1) % 2, *chunks[i + 1]).start()
+        dma(i % 2, r0, rows).wait()
+        win = patch[i % 2, 0:rows, pl.ds(ox3, ww3)]
+        win_bf = win.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
         acc = acc + jax.lax.dot_general(
-            wy[:, n_chunks * hc:], rows_bf16(n_chunks * hc, rem),
+            wy[:, r0:r0 + rows], win_bf,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -208,8 +210,9 @@ def hcontract_windows(
         ],
         out_specs=pl.BlockSpec((1, out_px, ww3), lambda i, oy, ox: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((wh, w * 3), frames.dtype),  # full-width row slab
-            pltpu.SemaphoreType.DMA,
+            # double-buffered full-width row-chunk slabs (contiguous DMA)
+            pltpu.VMEM((2, hc, w * 3), frames.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
