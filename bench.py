@@ -49,7 +49,11 @@ BASELINE_FPS = 2000.0
 T0 = time.time()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "3600"))
 
-CROP_WINDOW = (832, 896)  # covers the 750x630 padded serving box + slack
+# Windowed DMA crop measured SLOWER than the full-frame contraction on
+# v5e (DMA row-overhead + VMEM ceilings — see DEVNOTES round 3); the
+# serving crop is the full-frame separable warp with INT8 taps (the
+# u8->i8 frame recentre is loop-invariant). None = no window.
+CROP_WINDOW = None
 
 
 def _progress(msg):
@@ -102,7 +106,8 @@ def build(batch, mode="int8"):
 
     run = make_pose_pipeline(
         serving_model, lm3d, K, dist,
-        PipelineConfig(solver="gn", refine_iters=5, crop_window=CROP_WINDOW),
+        PipelineConfig(solver="gn", refine_iters=5, crop_window=CROP_WINDOW,
+                       warp_dtype="int8"),
     )
 
     from functools import partial
@@ -229,7 +234,8 @@ def build_full_path(det_batch=8, det_every=16, det_kind=None):
     dist = np.zeros(5, np.float32)
     pose_run = make_pose_pipeline(
         serving_lm, lm3d, K, dist,
-        PipelineConfig(solver="gn", refine_iters=5, crop_window=CROP_WINDOW),
+        PipelineConfig(solver="gn", refine_iters=5, crop_window=CROP_WINDOW,
+                       warp_dtype="int8"),
     )
 
     frames = jnp.asarray(rng.integers(0, 255, size=(clip, h, w, 3)), jnp.uint8)
@@ -292,7 +298,7 @@ def main():
     fps = measure(batch, "int8", n_lo, n_hi)
     _progress(f"primary int8 fps: {fps:.1f}")
     extra = {"mode": "int8_s2d_serving", "batch": batch,
-             "crop_window": list(CROP_WINDOW)}
+             "warp": "int8_fullframe"}
 
     def emit():
         print(

@@ -226,3 +226,45 @@ def upsample_std_to_even(u: Array, factor: int) -> Array:
             u[:, :, None, :, None, :], (b, h, f, w, f, c)
         ).reshape(b, h * f, w * f, c)
     return jnp.tile(u, (1, 1, 1, 4))
+
+
+def w3_pack_even3(w3: np.ndarray) -> np.ndarray:
+    """3x3 (3,3,C,C') -> 3x3 packed (3,3,4C,4C') EVEN->EVEN conv
+    (padding (1,1)).
+
+    The even-only scheme: 4x the MACs of the direct conv (the 3x3-cell
+    window covers a 6x6-pixel region of which only 4x4 is used — the
+    rest is zero weights), but every conv runs 128 lanes wide on clean
+    power-of-two shapes with no odd-alignment intermediates. Measured
+    faster than both the direct conv AND the alternating 2x2 scheme on
+    v5e (probe_r3: 0.435 ms vs 0.579 direct for the 128^2x32 shape).
+
+    Derivation: output even cell I pos dyo -> output row 2I+dyo needs
+    input rows 2I+dyo-1..+1 = even cells I-1..I+1; with cell offset
+    di in {0,1,2}: ky = 2*di + dyi - dyo - 1.
+    """
+    w3 = np.asarray(w3)
+    cin, cout = w3.shape[2], w3.shape[3]
+    out = np.zeros((3, 3, 4 * cin, 4 * cout), dtype=w3.dtype)
+    for di in range(3):
+        for dj in range(3):
+            for dyi in range(2):
+                for dxi in range(2):
+                    for dyo in range(2):
+                        for dxo in range(2):
+                            ky = 2 * di + dyi - dyo - 1
+                            kx = 2 * dj + dxi - dxo - 1
+                            if 0 <= ky <= 2 and 0 <= kx <= 2:
+                                pin = 2 * dyi + dxi
+                                pout = 2 * dyo + dxo
+                                out[
+                                    di, dj,
+                                    pin * cin:(pin + 1) * cin,
+                                    pout * cout:(pout + 1) * cout,
+                                ] = w3[ky, kx]
+    return out
+
+
+def conv_even3(x_even: Array, w_packed3: Array, int8: bool = True) -> Array:
+    """(B,H2,W2,4C) even -> (B,H2,W2,4C') even (3x3 SAME)."""
+    return _conv(x_even, w_packed3, 1, [(1, 1), (1, 1)], int8)

@@ -112,6 +112,13 @@ def crop_and_resize_mxu(
     image — identical bilinear math to `affine_warp` at rot=0, but it
     runs on the systolic array (~100x faster than the gather path for
     1920x1200 -> 512x512 crops).
+
+    compute_dtype: None (f32 exact), jnp.bfloat16 (error <= ~1 grey), or
+    jnp.int8 — the serving fast path: taps quantized to 1/127, the image
+    recentred to int8 via x-128 (the shift is corrected with the taps'
+    row sums; the u8->i8 conversion is loop-invariant in a serving scan,
+    so it amortises to zero). int8 matmuls run ~2x bf16 on v5e;
+    error <= ~2 grey levels on 0..255 data.
     """
     out_w, out_h = int(out_size[0]), int(out_size[1])
     M_inv = geometry.crop_affine_matrix(center, scale, 0.0, out_size, inv=True)
@@ -120,6 +127,8 @@ def crop_and_resize_mxu(
     ys = M_inv[1, 1] * jnp.arange(out_h, dtype=jnp.float32) + M_inv[1, 2]
     Wx = _interp_matrix(xs, image.shape[1])  # (out_w, W)
     Wy = _interp_matrix(ys, image.shape[0])  # (out_h, H)
+    if compute_dtype == jnp.int8:
+        return _crop_mxu_int8(image, Wx, Wy)
     if compute_dtype is not None:
         # serving fast path: bf16 interpolation taps with f32 accumulation
         # (error <= ~1 grey level on 0-255 inputs, 4x MXU rate)
@@ -134,6 +143,33 @@ def crop_and_resize_mxu(
     img = image.astype(jnp.float32)
     tmp = jnp.einsum("hwc,ow->hoc", img, Wx, precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum("hoc,ph->poc", tmp, Wy, precision=jax.lax.Precision.HIGHEST)
+
+
+def _crop_mxu_int8(image: Array, Wx: Array, Wy: Array) -> Array:
+    """int8 separable warp: image recentred (u8 - 128 -> i8), taps
+    quantized symmetric per-matrix; int32 accumulation is exact given
+    the int8 operands, so the only error is tap quantization (<= 1/254
+    relative per axis) and the intermediate requant (<= ~1 grey)."""
+    # recentre: hoisted out of serving scans (image is loop-invariant)
+    img_i8 = (image.astype(jnp.int32) - 128).astype(jnp.int8)
+    sx = 127.0
+    Wx8 = jnp.clip(jnp.round(Wx * sx), -127, 127).astype(jnp.int8)
+    Wy8 = jnp.clip(jnp.round(Wy * sx), -127, 127).astype(jnp.int8)
+    # contract H first: tmp[o, w, c] = sum_h Wy8[o, h] * img[h, w, c]
+    tmp = jnp.einsum(
+        "hwc,oh->owc", img_i8, Wy8, preferred_element_type=jnp.int32
+    )
+    # requant tmp (range ~ +-127*127) back to int8 around its own scale
+    tmp_i8 = jnp.clip(jnp.round(tmp.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+    out = jnp.einsum(
+        "owc,pw->opc", tmp_i8, Wx8, preferred_element_type=jnp.int32
+    )
+    # undo the remaining tap scale (tmp was already descaled once) and
+    # the -128 recentre: x = y/sx + 128*rowsum_y*rowsum_x
+    corr = jnp.einsum("oh->o", Wy8.astype(jnp.float32))[:, None] * jnp.einsum(
+        "pw->p", Wx8.astype(jnp.float32)
+    )[None, :] * (128.0 / (sx * sx))
+    return out.astype(jnp.float32) / sx + corr[..., None]
 
 
 def batched_crop_and_resize(

@@ -75,7 +75,7 @@ def make_landmark_stage(model, config: PipelineConfig = PipelineConfig()):
     def run(variables, frames: Array, boxes: Array):
         centers, scales = boxes_to_center_scale(boxes, config.bbox_padding)
         rots = jnp.zeros(frames.shape[0], jnp.float32)
-        wdtype = jnp.bfloat16 if config.warp_dtype == "bfloat16" else None
+        wdtype = {"bfloat16": jnp.bfloat16, "int8": jnp.int8}.get(config.warp_dtype)
         if config.crop_window is not None:
             from .ops import pallas_crop
 
@@ -84,7 +84,9 @@ def make_landmark_stage(model, config: PipelineConfig = PipelineConfig()):
             )
             crops = pallas_crop.crop_and_resize_window(
                 frames, centers, scales, config.image_size, config.crop_window,
-                compute_dtype=wdtype or jnp.float32,
+                # the windowed kernel contracts in bf16; int8 taps apply
+                # to the full-frame path only
+                compute_dtype=jnp.bfloat16 if wdtype == jnp.int8 else (wdtype or jnp.float32),
             )
         else:
             # Inference never rotates -> separable MXU crop (TPU gathers

@@ -179,3 +179,35 @@ def test_upsample_to_even(rng, factor):
     expect = s2d.pack_even(big)
     got = s2d.upsample_std_to_even(u, factor)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(expect))
+
+
+def test_even3_exact(rng):
+    """Even-only scheme: packed 3x3 even->even == direct 3x3."""
+    B, H, W, C, CO = 2, 16, 12, 5, 7
+    x = rnd_int8(rng, (B, H, W, C))
+    w3 = rnd_int8(rng, (3, 3, C, CO))
+    y_direct = direct_conv3(x, w3)
+    wp = jnp.asarray(s2d.w3_pack_even3(np.asarray(w3)))
+    y = s2d.conv_even3(s2d.pack_even(x), wp)
+    np.testing.assert_array_equal(np.asarray(s2d.unpack_even(y)), np.asarray(y_direct))
+
+
+def test_even3_chain_exact(rng):
+    """Two even3 convs + residual == direct chain (no alternation)."""
+    B, H, W, C = 2, 16, 16, 6
+    x = rnd_int8(rng, (B, H, W, C))
+    w1 = rnd_int8(rng, (3, 3, C, C))
+    w2 = rnd_int8(rng, (3, 3, C, C))
+
+    def requant(acc):
+        return jnp.clip(jnp.round(acc.astype(jnp.float32) * 0.01), -127, 127).astype(jnp.int8)
+
+    h1 = requant(jnp.maximum(direct_conv3(x, w1), 0))
+    h2 = requant(direct_conv3(h1, w2) + x.astype(jnp.int32) * 50)
+
+    xp = s2d.pack_even(x)
+    w1p = jnp.asarray(s2d.w3_pack_even3(np.asarray(w1)))
+    w2p = jnp.asarray(s2d.w3_pack_even3(np.asarray(w2)))
+    h1p = requant(jnp.maximum(s2d.conv_even3(xp, w1p), 0))
+    h2p = requant(s2d.conv_even3(h1p, w2p) + xp.astype(jnp.int32) * 50)
+    np.testing.assert_array_equal(np.asarray(s2d.unpack_even(h2p)), np.asarray(h2))

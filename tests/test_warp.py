@@ -109,3 +109,36 @@ class TestAffineWarp:
         out = W.crop_and_resize(jnp.asarray(img), center, scale, 0.0, (64, 64))
         ref = cv2_crop(img, center, scale, 0.0, (64, 64))
         np.testing.assert_allclose(np.asarray(out), ref, atol=0.5)
+
+
+class TestInt8Crop:
+    def test_int8_close_to_f32(self):
+        import numpy as np
+
+        rng = np.random.default_rng(4)
+        img = jnp.asarray(rng.integers(0, 255, (100, 140, 3)), jnp.uint8)
+        center = jnp.asarray([70.0, 50.0])
+        scale = jnp.asarray([0.4, 0.4])
+        exact = W.crop_and_resize_mxu(img.astype(jnp.float32), center, scale, (64, 64))
+        got = W.crop_and_resize_mxu(img, center, scale, (64, 64),
+                                       compute_dtype=jnp.int8)
+        err = float(jnp.max(jnp.abs(got - exact)))
+        # worst case: tap quantization (~1 grey/axis) + intermediate
+        # requant (+-0.5); the downstream int8 model's own input LSB is
+        # ~2.2 grey, so <=4.5 grey is inside one input quantization bin
+        assert err < 4.5, err
+        mean_err = float(jnp.mean(jnp.abs(got - exact)))
+        assert mean_err < 1.0, mean_err
+
+    def test_int8_border_zero(self):
+        import numpy as np
+
+        img = jnp.full((60, 60, 3), 200, jnp.uint8)
+        center = jnp.asarray([0.0, 0.0])  # crop hangs off the corner
+        scale = jnp.asarray([0.3, 0.3])
+        exact = W.crop_and_resize_mxu(img.astype(jnp.float32), center, scale, (32, 32))
+        got = W.crop_and_resize_mxu(img, center, scale, (32, 32),
+                                       compute_dtype=jnp.int8)
+        assert float(jnp.max(jnp.abs(got - exact))) < 2.5
+        # outside-the-image quadrant is (near) zero, not 128-shifted
+        assert float(jnp.max(jnp.abs(got[:10, :10]))) < 1.5
