@@ -378,6 +378,17 @@ def fused_bottleneck_chain_strips(
     cout = w3.shape[-1]
     halo = nblocks  # one row of validity per 3x3 conv
     assert h % strip == 0, (h, strip)
+    # pad input channels to the int8 lane tile (128): a lane-dim DMA
+    # slice of a narrower array is rejected by Mosaic ("slice shape
+    # along dimension 2 must be aligned to tiling"); the extra channels
+    # are zeros against zero weight rows — exact
+    cpad = (-cin0) % 128
+    if cpad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cpad)))
+        wd = jnp.pad(wd, ((0, cpad), (0, 0)))
+        if w1.shape[1] < cin0 + cpad:
+            w1 = jnp.pad(w1, ((0, 0), (0, cin0 + cpad - w1.shape[1]), (0, 0)))
+        cin0 = cin0 + cpad
     xp = jnp.pad(x, ((0, 0), (halo, halo), (0, 0), (0, 0)))
     xp = xp.reshape(b * (h + 2 * halo), wdt, cin0)  # 3-D for the DMA ref
     rows = strip + 2 * halo
