@@ -7,12 +7,11 @@ frames/s/chip (BASELINE.md) — >1.0 beats it.
 Round-3 serving configuration (the primary metric):
   * uint8 frames (the true serving ingest contract — full-frame f32
     tensors tripled HBM read traffic for nothing),
-  * Pallas windowed DMA crop (ops/pallas_crop.py) instead of the
-    full-frame interpolation contraction,
-  * int8 PTQ HRNet with the space-to-depth packed branch0
-    (ops/s2d.py — 128 MXU lanes instead of 32) and the strip-mined
-    fused layer1 kernel (ops/pallas_blocks.py) — both bit-exact vs the
-    per-op int8 walk.
+  * full-frame separable bf16 MXU crop (probe-measured fastest vs the
+    Pallas windowed DMA crop and the int8-tap variant),
+  * int8 PTQ HRNet, per-op direct walk (the s2d packed walks and the
+    fused Pallas chains each measured slower in situ — see DEVNOTES),
+  * fixed-depth shallow-linalg PnP (ops/pnp.py: 4.05 -> 0.38 ms/b128).
 
 Timing methodology: this image's axon TPU backend is fully asynchronous
 (`block_until_ready` returns before execution) and has a ~25 ms host
@@ -50,10 +49,11 @@ T0 = time.time()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "3600"))
 
 # Windowed DMA crop measured SLOWER than the full-frame contraction on
-# v5e (DMA row-overhead + VMEM ceilings — see DEVNOTES round 3); the
-# serving crop is the full-frame separable warp with INT8 taps (the
-# u8->i8 frame recentre is loop-invariant). None = no window.
+# v5e (DMA row-overhead + VMEM ceilings), and int8 taps measured slower
+# than bf16 (9.6 vs 7.9 ms/b128 — the int32 intermediate doubles HBM
+# traffic; probe_r3d). Serving crop = full-frame separable bf16 warp.
 CROP_WINDOW = None
+WARP_DTYPE = "bfloat16"
 
 
 def _progress(msg):
@@ -98,7 +98,9 @@ def build(batch, mode="int8"):
         calib = normalize_crops(
             jnp.asarray(rng.integers(0, 255, size=(4, 512, 512, 3)), jnp.float32)
         )
-        q = quantize_hrnet(model, variables, calib, s2d=True)
+        # s2d=False: the even3/alt packed walks measured SLOWER in situ
+        # (111 vs 83.6 ms/b128, probe_r3d) despite faster isolated convs
+        q = quantize_hrnet(model, variables, calib, s2d=False)
         serving_model = HRNetInt8(model.config)
         serving_vars = q
     else:
@@ -107,7 +109,7 @@ def build(batch, mode="int8"):
     run = make_pose_pipeline(
         serving_model, lm3d, K, dist,
         PipelineConfig(solver="gn", refine_iters=5, crop_window=CROP_WINDOW,
-                       warp_dtype="int8"),
+                       warp_dtype=WARP_DTYPE),
     )
 
     from functools import partial
@@ -226,7 +228,7 @@ def build_full_path(det_batch=8, det_every=16, det_kind=None):
     calib = normalize_crops(
         jnp.asarray(rng.integers(0, 255, size=(4, 512, 512, 3)), jnp.float32)
     )
-    q_vars = quantize_hrnet(lm_model, lm_vars, calib, s2d=True)
+    q_vars = quantize_hrnet(lm_model, lm_vars, calib, s2d=False)
     serving_lm = HRNetInt8(lm_model.config)
 
     lm3d = rng.normal(size=(num_joints, 3)).astype(np.float32)
@@ -235,7 +237,7 @@ def build_full_path(det_batch=8, det_every=16, det_kind=None):
     pose_run = make_pose_pipeline(
         serving_lm, lm3d, K, dist,
         PipelineConfig(solver="gn", refine_iters=5, crop_window=CROP_WINDOW,
-                       warp_dtype="int8"),
+                       warp_dtype=WARP_DTYPE),
     )
 
     frames = jnp.asarray(rng.integers(0, 255, size=(clip, h, w, 3)), jnp.uint8)

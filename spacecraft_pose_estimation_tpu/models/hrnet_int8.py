@@ -154,11 +154,11 @@ class _Int8Ops:
         self.fused_blocks = fused_blocks
         # s2d branch0: auto-on when the packed weights are present
         self.s2d = bool(q.get("convs_s2d")) if s2d is None else s2d
-        # strip-mined fused layer1 (the ~16 ms/b128 HBM item): on by
-        # default on TPU; interpret-mode fallback is correct but slow
-        if layer1_strips is None:
-            layer1_strips = jax.devices()[0].platform == "tpu"
-        self.layer1_strips = layer1_strips
+        # strip-mined fused layer1 (the ~14.5 ms/b128 HBM item): default
+        # OFF — the kernel's slab-DMA form still crashes the Mosaic
+        # remote compile helper (HTTP 500, probe_r3c) even with the
+        # lane-tile cin pad; opt in explicitly once it compiles
+        self.layer1_strips = bool(layer1_strips)
 
     def branch_chain(self, prefix, branch, nblocks, h):
         """Whole-branch BasicBlock chain as ONE Pallas kernel
