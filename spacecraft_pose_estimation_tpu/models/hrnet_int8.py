@@ -601,12 +601,15 @@ def _collect_scales(model: HRNet, variables, calib_x) -> dict[str, float]:
     return scales
 
 
-def quantize_hrnet(model: HRNet, variables, calib_x, s2d: bool = True) -> dict:
+def quantize_hrnet(model: HRNet, variables, calib_x, s2d: bool = False) -> dict:
     """Calibrate + quantize. Returns a pytree of int8 kernels and f32
     requant vectors consumable by :func:`hrnet_int8_apply`.
 
     ``s2d``: also emit the space-to-depth packed twins for the high-res
-    branch (bit-exact, ~2x faster on TPU — ops/s2d.py)."""
+    branch (bit-exact — ops/s2d.py). Default OFF for serving: although
+    the isolated packed convs measure 25% faster, the packed WALK
+    measured slower end to end on v5e (111 vs 83.6 ms/b128, probe_r3d);
+    kept for experimentation and covered by tests."""
     if model.config.head != "classic":
         raise NotImplementedError("int8 path covers the classic head only")
     scales = _collect_scales(model, variables, calib_x)

@@ -52,7 +52,9 @@ def tiny_setup():
 
     variables = jax.tree_util.tree_map_with_path(perturb, variables)
     calib = jnp.asarray(rng.normal(0, 1.2, (4, 64, 64, 3)), jnp.float32)
-    q = quantize_hrnet(model, variables, calib)
+    # s2d=True: the packed-twin coverage tests below need the s2d tree
+    # (serving default is False — probe-measured slower in situ)
+    q = quantize_hrnet(model, variables, calib, s2d=True)
     return model, variables, q, rng
 
 
