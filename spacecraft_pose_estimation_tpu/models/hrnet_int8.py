@@ -147,13 +147,20 @@ class _Int8Ops:
     """Walk in 'execute' mode over the quantized tree."""
 
     def __init__(self, q, x, in_scale, fused_blocks: bool = False,
-                 s2d: bool | None = None, layer1_strips: bool | None = None):
+                 s2d: bool | None = None, layer1_strips: bool | None = None,
+                 fused_even3: bool | None = None):
         self.q = q
         self.x = x
         self.in_scale = in_scale
         self.fused_blocks = fused_blocks
         # s2d branch0: auto-on when the packed weights are present
         self.s2d = bool(q.get("convs_s2d")) if s2d is None else s2d
+        # even3-packed fused branch chains (full-lane in-kernel dots +
+        # VMEM residency); requires s2d. Default OFF: the kernel measured
+        # 5.57 ms/branch-chain vs 2.82 for the direct per-op walk
+        # (probe_r3g) — the packed dots fill the lanes but the kernel is
+        # still dot-issue-bound vs XLA's pipelined int8 convs.
+        self.fused_even3 = False if fused_even3 is None else fused_even3
         # strip-mined fused layer1 (the ~14.5 ms/b128 HBM item): default
         # OFF — the kernel's slab-DMA form still crashes the Mosaic
         # remote compile helper (HTTP 500, probe_r3c) even with the
@@ -164,7 +171,25 @@ class _Int8Ops:
         """Whole-branch BasicBlock chain as ONE Pallas kernel
         (ops/pallas_blocks.py): activation tile resident in VMEM across
         2*nblocks convs + nblocks residual adds — the per-op XLA walk is
-        HBM-roofline-bound (see module docstring)."""
+        HBM-roofline-bound (see module docstring).
+
+        even3-packed variant: when branch0 runs space-to-depth packed,
+        the SAME kernel gets (3,3,4C,4C) packed weights — in-kernel dots
+        are K=384/N=128 (full MXU lanes) instead of the starved K=96/
+        N=32 std shapes that made the round-2 std chains 3x slower."""
+        if h.layout == "even" and self.fused_even3:
+            from ..ops.pallas_blocks import (
+                chain_params_even3_from_q,
+                fused_basic_block_chain,
+            )
+
+            packed = chain_params_even3_from_q(self.q, prefix, branch, nblocks)
+            if packed is not None:
+                w, m, b, cf = packed
+                out = fused_basic_block_chain(h.value, w, m, b, cf, nblocks)
+                return _Handle(
+                    out, None, f"{prefix}/branch{branch}/fused_e3", "even"
+                )
         if not self.fused_blocks or h.layout != "std":
             return None
         from ..ops.pallas_blocks import (
@@ -627,6 +652,7 @@ def quantize_hrnet(model: HRNet, variables, calib_x, s2d: bool = False) -> dict:
 def hrnet_int8_apply(
     cfg: HRNetConfig, q: dict, x, fused_blocks: bool | None = None,
     s2d: bool | None = None, layer1_strips: bool | None = None,
+    fused_even3: bool | None = None,
 ) -> jnp.ndarray:
     """int8 forward. ``x``: (B, H, W, 3) normalized f32 (same contract as
     the bf16 model). Returns f32 heatmaps (B, H/4, W/4, J).
@@ -643,7 +669,7 @@ def hrnet_int8_apply(
         # the kernels remain available for experimentation.
         fused_blocks = False
     ops = _Int8Ops(q, x, q["in_scale"], fused_blocks=fused_blocks, s2d=s2d,
-                   layer1_strips=layer1_strips)
+                   layer1_strips=layer1_strips, fused_even3=fused_even3)
     return _forward(ops, cfg, x)
 
 
@@ -653,15 +679,17 @@ class HRNetInt8:
     landmark stage work unchanged with the quantized tree as 'variables'."""
 
     def __init__(self, config: HRNetConfig, fused_blocks: bool | None = None,
-                 s2d: bool | None = None, layer1_strips: bool | None = None):
+                 s2d: bool | None = None, layer1_strips: bool | None = None,
+                 fused_even3: bool | None = None):
         self.config = config
         self.fused_blocks = fused_blocks
         self.s2d = s2d
         self.layer1_strips = layer1_strips
+        self.fused_even3 = fused_even3
 
     def apply(self, q, x, train: bool = False):
         del train  # inference-only
         return hrnet_int8_apply(
             self.config, q, x, fused_blocks=self.fused_blocks, s2d=self.s2d,
-            layer1_strips=self.layer1_strips,
+            layer1_strips=self.layer1_strips, fused_even3=self.fused_even3,
         )

@@ -545,6 +545,34 @@ def fused_up_exchange(
     )(*operands, *flat_ups, coeffs)
 
 
+def chain_params_even3_from_q(q: dict, prefix: str, branch: int, nblocks: int):
+    """Collect one branch's BasicBlock chain in the even3-PACKED domain
+    (ops/s2d.py): stacked (nblocks, 2, 3, 3, 4C, 4C) weights + tiled
+    requant vectors for `fused_basic_block_chain`.
+
+    Why this beats both parents: the std-layout chain kernel is starved
+    by N=32/K=96 in-kernel dots (~12% MXU), and the per-op even3 walk
+    pays an HBM round-trip per conv. Packed the dots are K=384/N=128
+    (full lanes) AND the chain stays VMEM-resident. Returns None when a
+    block lacks a packed twin or has a projection shortcut."""
+    convs = q.get("convs_s2d") or {}
+    ws, ms, bs, cs = [], [], [], []
+    for k in range(nblocks):
+        bn = f"{prefix}/branch{branch}/block{k}"
+        if f"{bn}/down" in q["convs"]:
+            return None
+        c1, c2 = convs.get(f"{bn}/conv1"), convs.get(f"{bn}/conv2")
+        if c1 is None or c2 is None:
+            return None
+        if c1["w8p"].shape[0] != 3 or c2["w8p"].shape[0] != 3:
+            return None  # alt-scheme 2x2 packing: not chain-fusable
+        ws.append(jnp.stack([c1["w8p"], c2["w8p"]]))
+        ms.append(jnp.stack([c1["m"], c2["m"]]))
+        bs.append(jnp.stack([c1["b"], c2["b"]]))
+        cs.append(jnp.asarray(q["adds"][bn]["coeffs"], jnp.float32))
+    return jnp.stack(ws), jnp.stack(ms), jnp.stack(bs), jnp.stack(cs)
+
+
 def chain_params_from_q(q: dict, prefix: str, branch: int, nblocks: int):
     """Collect one module-branch's BasicBlock params from the quantized
     tree (models/hrnet_int8.py layout) into the kernel's stacked arrays.
