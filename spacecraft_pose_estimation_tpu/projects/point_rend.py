@@ -204,15 +204,21 @@ def sample_fine_grained_features(
     return jnp.concatenate(outs, axis=-1)
 
 
-def upsample2x_bilinear(x: Array) -> Array:
-    """2x bilinear upsample, align_corners=False (torch F.interpolate
-    semantics: target pixel i samples source (i+0.5)/2 - 0.5)."""
+def upsample_bilinear(x: Array, factor: int = 2) -> Array:
+    """Integer-factor bilinear upsample, align_corners=False (torch
+    F.interpolate semantics: target pixel i samples source
+    (i+0.5)/factor - 0.5)."""
     n, h, w, c = x.shape
+    f = float(factor)
     # torch clamps the source position to >= 0 (area_pixel_compute_
     # source_index with align_corners=False); the upper edge is handled
     # by index clamping below.
-    ys = jnp.maximum((jnp.arange(2 * h, dtype=jnp.float32) + 0.5) / 2.0 - 0.5, 0.0)
-    xs = jnp.maximum((jnp.arange(2 * w, dtype=jnp.float32) + 0.5) / 2.0 - 0.5, 0.0)
+    ys = jnp.maximum(
+        (jnp.arange(factor * h, dtype=jnp.float32) + 0.5) / f - 0.5, 0.0
+    )
+    xs = jnp.maximum(
+        (jnp.arange(factor * w, dtype=jnp.float32) + 0.5) / f - 0.5, 0.0
+    )
     y0 = jnp.floor(ys)
     x0 = jnp.floor(xs)
     fy = (ys - y0)[None, :, None, None]
@@ -224,6 +230,10 @@ def upsample2x_bilinear(x: Array) -> Array:
     top = x[:, y0i][:, :, x0i] * (1 - fx) + x[:, y0i][:, :, x1i] * fx
     bot = x[:, y1i][:, :, x0i] * (1 - fx) + x[:, y1i][:, :, x1i] * fx
     return top * (1 - fy) + bot * fy
+
+
+def upsample2x_bilinear(x: Array) -> Array:
+    return upsample_bilinear(x, 2)
 
 
 # ---------------------------------------------------------------------------
