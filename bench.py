@@ -299,8 +299,8 @@ def main():
 
     fps = measure(batch, "int8", n_lo, n_hi)
     _progress(f"primary int8 fps: {fps:.1f}")
-    extra = {"mode": "int8_s2d_serving", "batch": batch,
-             "warp": "int8_fullframe"}
+    extra = {"mode": "int8_direct_serving", "batch": batch,
+             "warp": f"{WARP_DTYPE}_fullframe"}
 
     def emit():
         print(

@@ -66,9 +66,19 @@ def _fold_frozen(p):
     return w, add
 
 
+def _backbone_variables(variables) -> dict:
+    """Accept either a bare ResNetBackbone tree or a full
+    GeneralizedRCNN tree (backbone params under scope 'backbone')."""
+    params = variables["params"]
+    if "stem" not in params and "backbone" in params:
+        return {"params": params["backbone"]}
+    return {"params": params}
+
+
 def collect_backbone_scales(cfg: ResNetConfig, variables, calib_x) -> dict:
     """Per-site activation scales (amax/127) from a bf16 calibration
     forward with captured intermediates."""
+    variables = _backbone_variables(variables)
     model = ResNetBackbone(cfg, dtype=jnp.bfloat16)
     _, inter = model.apply(
         variables, calib_x, capture_intermediates=True, mutable=["intermediates"]
@@ -97,6 +107,7 @@ def collect_backbone_scales(cfg: ResNetConfig, variables, calib_x) -> dict:
 def quantize_backbone(cfg: ResNetConfig, variables, calib_x) -> dict:
     """-> quantized tree: per-conv {w8, m, b, stride, groups}, add coeffs,
     feature dequant scales."""
+    variables = _backbone_variables(variables)
     params = jax.tree_util.tree_map(np.asarray, variables["params"])
     scales = collect_backbone_scales(cfg, variables, calib_x)
 
