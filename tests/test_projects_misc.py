@@ -213,3 +213,28 @@ class TestSwapAlign2Nat:
         x = jnp.ones((1, 2, 2, 4, 4))
         g = jax.grad(lambda t: jnp.sum(TM.swap_align2nat(t, 2) ** 2))(x)
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestDesktopHelpers:
+    def test_headless_noops(self, monkeypatch):
+        from spacecraft_pose_estimation_tpu.events import desktop
+
+        for var in ("DISPLAY", "WAYLAND_DISPLAY", "DESKTOP_LAUNCH"):
+            monkeypatch.delenv(var, raising=False)
+        monkeypatch.setattr("sys.platform", "linux")
+        assert desktop.get_desktop() is None
+        assert not desktop.is_standard()
+        assert desktop.open("/tmp") is None  # no crash, no subprocess
+        assert desktop.notify("t", "m") is False
+
+    def test_desktop_launch_override(self, monkeypatch, tmp_path):
+        from spacecraft_pose_estimation_tpu.events import desktop
+
+        marker = tmp_path / "opened.txt"
+        monkeypatch.setenv("DISPLAY", ":0")
+        monkeypatch.setenv("DESKTOP_LAUNCH", f"touch")
+        monkeypatch.setattr("sys.platform", "linux")
+        assert desktop.get_desktop() is not None
+        assert desktop.is_standard()
+        pid = desktop.open(str(marker), wait=True)
+        assert pid is not None and marker.exists()

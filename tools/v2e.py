@@ -430,6 +430,14 @@ def main():
             write_avi(np.stack(u8_stack), avi, args.avi_frame_rate)
             print(f"wrote {avi}")
 
+    # end-of-run desktop integration (v2e.py:793-808): notify + show the
+    # output folder — headless-safe no-ops on a TPU pod
+    from spacecraft_pose_estimation_tpu.events import desktop
+
+    desktop.notify("v2e done", f"{total_events} events -> {out_folder}")
+    if not args.skip_video_output and not args.no_preview:
+        desktop.open(os.path.abspath(out_folder))
+
 
 if __name__ == "__main__":
     main()
