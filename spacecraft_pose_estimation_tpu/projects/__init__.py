@@ -1,9 +1,10 @@
 """TPU-native rebuilds of the reference's detectron2 ``projects/`` family.
 
 Reference: object_detection/detectron2/projects/ — PointRend, DeepLab,
-Panoptic-DeepLab, TridentNet, PointSup, Rethinking-BatchNorm, TensorMask.
-(DensePose — 15.8k LoC of domain-specific UV tooling — is out of scope;
-see PARITY.md.)
+Panoptic-DeepLab, TridentNet, PointSup, Rethinking-BatchNorm, TensorMask,
+and DensePose (chart-based core: heads, predictor, losses, converters —
+the CSE/video/evaluator tooling beyond the modeling core is recorded in
+PARITY.md).
 
 Every module follows the repo's conventions: NHWC flax modules, fixed
 shapes (padded + masked instances), functional losses, and XLA-friendly
