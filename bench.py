@@ -173,6 +173,7 @@ def build_full_path(det_batch=8, det_every=16, det_kind=None):
     )
     from spacecraft_pose_estimation_tpu.models.rcnn import (
         FASTER_RCNN_R101_SERVING,
+        FASTER_RCNN_R101_SERVING_1OBJ,
         FASTER_RCNN_X101_SERVING,
         GeneralizedRCNN,
         select_best_box,
@@ -183,16 +184,18 @@ def build_full_path(det_batch=8, det_every=16, det_kind=None):
         normalize_crops,
     )
 
-    det_kind = det_kind or os.environ.get("BENCH_DET", "r101_int8")
+    det_kind = det_kind or os.environ.get("BENCH_DET", "r101_1obj_int8")
     num_joints = 11
     h, w = 1200, 1920
     det_size = 768
     clip = det_batch * det_every
 
-    det_cfg = (
-        FASTER_RCNN_R101_SERVING if det_kind.startswith("r101")
-        else FASTER_RCNN_X101_SERVING
-    )
+    if "1obj" in det_kind:
+        det_cfg = FASTER_RCNN_R101_SERVING_1OBJ
+    elif det_kind.startswith("r101"):
+        det_cfg = FASTER_RCNN_R101_SERVING
+    else:
+        det_cfg = FASTER_RCNN_X101_SERVING
     det_model = GeneralizedRCNN(config=det_cfg, dtype=jnp.bfloat16)
     det_vars = jax.jit(lambda k: det_model.init(
         {"params": k}, jnp.zeros((1, det_size, det_size, 3)), train=False
@@ -331,6 +334,7 @@ def main():
     # graph. Two serving points: detector on every frame, and the
     # tracked mode (detect every 16th frame, hold box).
     if not os.environ.get("BENCH_SKIP_FULL_PATH"):
+        extra["det_kind"] = os.environ.get("BENCH_DET", "r101_1obj_int8")
         for key, kwargs in (
             ("full_path_det_every_frame_fps", dict(det_batch=8, det_every=1)),
             ("full_path_det_every_16_fps", dict(det_batch=8, det_every=16)),

@@ -95,6 +95,19 @@ FASTER_RCNN_R101_SERVING = dataclasses.replace(
     rpn=RPNConfig(pre_nms_topk_test=512, post_nms_topk_test=256),
 )
 
+# Single-object serving point: the pipeline keeps only the argmax-score
+# box (reference TEST.DETECTIONS_PER_IMAGE=2 + the exporter's argmax,
+# export_object_detection_bounding_boxes.py:303-322), so RPN recall for
+# ONE spacecraft is saturated far below COCO-sized proposal budgets;
+# 256/64 cuts the NMS candidate set and the ROI head 4x again over the
+# serving preset. Accuracy bound: the argmax box is invariant to the
+# budget cut on single-object scenes
+# (tests/test_rcnn.py::test_top1_box_invariant_to_proposal_budget).
+FASTER_RCNN_R101_SERVING_1OBJ = dataclasses.replace(
+    FASTER_RCNN_R101_SPACECRAFT,
+    rpn=RPNConfig(pre_nms_topk_test=256, post_nms_topk_test=64),
+)
+
 RCNN_TINY = RCNNConfig(
     backbone=RESNET_TINY,
     fpn_channels=16,

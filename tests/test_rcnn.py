@@ -144,14 +144,23 @@ class TestServingBudget:
         )
         from spacecraft_pose_estimation_tpu.models.rpn import RPNConfig
 
+        # the serving preset's 2x cut AND the 1OBJ preset's 4x cut
+        # (FASTER_RCNN_R101_SERVING_1OBJ: 256/64 vs the d2 1000/1000)
         tiny_small = dataclasses.replace(
             RCNN_TINY,
             rpn=dataclasses.replace(
                 RCNN_TINY.rpn, pre_nms_topk_test=32, post_nms_topk_test=16
             ),
         )
+        tiny_1obj = dataclasses.replace(
+            RCNN_TINY,
+            rpn=dataclasses.replace(
+                RCNN_TINY.rpn, pre_nms_topk_test=16, post_nms_topk_test=8
+            ),
+        )
         model_full = GeneralizedRCNN(config=RCNN_TINY)
         model_small = GeneralizedRCNN(config=tiny_small)
+        model_1obj = GeneralizedRCNN(config=tiny_1obj)
 
         rng = np.random.default_rng(0)
         img = rng.uniform(0, 40, (1, 64, 64, 3)).astype(np.float32)
@@ -162,7 +171,10 @@ class TestServingBudget:
         )
         d_full = model_full.apply(variables, jnp.asarray(img), train=False)
         d_small = model_small.apply(variables, jnp.asarray(img), train=False)
+        d_1obj = model_1obj.apply(variables, jnp.asarray(img), train=False)
 
         b_full = np.asarray(select_best_box(d_full, (64, 64)))[0]
         b_small = np.asarray(select_best_box(d_small, (64, 64)))[0]
+        b_1obj = np.asarray(select_best_box(d_1obj, (64, 64)))[0]
         np.testing.assert_allclose(b_small, b_full, atol=1.0)
+        np.testing.assert_allclose(b_1obj, b_full, atol=1.0)
