@@ -223,6 +223,47 @@ class DensePoseHead(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# ROI integration (roi_head.py:127-177 _forward_densepose)
+
+
+def densepose_roi_forward(
+    head: "DensePoseHead",
+    head_variables,
+    features: Sequence[Array],
+    boxes: Array,
+    *,
+    decoder: "DensePoseDecoder | None" = None,
+    decoder_variables=None,
+    pooler_resolution: int = 28,
+    strides: tuple[int, ...] = (4, 8, 16, 32),
+) -> DensePoseChartPredictorOutput:
+    """Pool box features and run the DensePose head, mirroring
+    ``DensePoseROIHeads._forward_densepose`` (roi_head.py:127-177):
+    with ``decoder`` (DECODER_ON default) the FPN levels are merged to
+    one stride-4 map and pooled single-level; otherwise the standard
+    multi-level ROIAlign assignment applies. ``boxes``: (R, 4) XYXY in
+    image coords, fixed R (padded boxes produce padded outputs —
+    validity is the caller's mask, as everywhere in this repo).
+    ``features``: one image's FPN maps, batched ``(1, H, W, C)``
+    (the GeneralizedRCNN per-image serving contract).
+    """
+    from ..ops.roi_align import multilevel_roi_align, roi_align
+
+    if decoder is not None:
+        merged = decoder.apply(decoder_variables, features)
+        pooled = roi_align(
+            merged[0], boxes, pooler_resolution, 1.0 / strides[0],
+            sampling_ratio=2,
+        )
+    else:
+        pooled = multilevel_roi_align(
+            [f[0] for f in features], boxes, pooler_resolution, strides,
+            sampling_ratio=2,
+        )
+    return head.apply(head_variables, pooled)
+
+
+# ---------------------------------------------------------------------------
 # chart loss
 
 

@@ -391,6 +391,33 @@ class TestChartResult:
             )
 
 
+class TestROIIntegration:
+    def test_roi_forward_decoder_and_multilevel(self):
+        cfg = dp.DensePoseConfig(
+            num_stacked_convs=1, conv_head_dim=8, num_patches=3,
+            decoder_channels=8,
+        )
+        feats = [jnp.ones((1, 32 // (2 ** i), 32 // (2 ** i), 4)) * (i + 1)
+                 for i in range(4)]
+        boxes = jnp.asarray([[4.0, 4.0, 20.0, 20.0], [0.0, 0.0, 8.0, 8.0]])
+        head = dp.DensePoseHead(cfg)
+        hv = head.init(jax.random.key(0), jnp.ones((2, 28, 28, 8)))
+        dec = dp.DensePoseDecoder(cfg)
+        dv = dec.init(jax.random.key(1), feats)
+        out = dp.densepose_roi_forward(
+            head, hv, feats, boxes, decoder=dec, decoder_variables=dv,
+            pooler_resolution=28, strides=(4, 8, 16, 32),
+        )
+        assert out.fine_segm.shape == (2, 112, 112, 4)
+
+        hv2 = head.init(jax.random.key(2), jnp.ones((2, 14, 14, 4)))
+        out2 = dp.densepose_roi_forward(
+            head, hv2, feats, boxes, pooler_resolution=14,
+            strides=(4, 8, 16, 32),
+        )
+        assert out2.u.shape == (2, 56, 56, 4)
+
+
 class TestFullHead:
     def test_head_predictor_end_to_end(self):
         cfg = dp.DensePoseConfig(
