@@ -7,8 +7,10 @@
 Run one case per process (remote-compile service pays full compile per
 process): python devbench/exp_r3_batching.py {fp32|fp64|p256}
 """
+import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench
 
 

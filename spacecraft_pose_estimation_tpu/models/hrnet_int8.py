@@ -148,11 +148,19 @@ class _Int8Ops:
 
     def __init__(self, q, x, in_scale, fused_blocks: bool = False,
                  s2d: bool | None = None, layer1_strips: bool | None = None,
-                 fused_even3: bool | None = None):
+                 fused_even3: bool | None = None,
+                 fused_min_width: int | None = None):
         self.q = q
         self.x = x
         self.in_scale = in_scale
         self.fused_blocks = fused_blocks
+        # Selective chain fusion: fuse only branches whose channel width
+        # is >= this (the wide low-res branches, where the in-kernel dots
+        # run at N>=64 lanes AND the per-op walk pays ~35 us/site
+        # dispatch overhead on tiny grids — stage3/4 measure ~28% over
+        # their static rooflines with ~200 op sites each). branch0
+        # (N=32-starved dots) stays per-op.
+        self.fused_min_width = fused_min_width
         # s2d branch0: auto-on when the packed weights are present
         self.s2d = bool(q.get("convs_s2d")) if s2d is None else s2d
         # even3-packed fused branch chains (full-lane in-kernel dots +
@@ -190,7 +198,14 @@ class _Int8Ops:
                 return _Handle(
                     out, None, f"{prefix}/branch{branch}/fused_e3", "even"
                 )
-        if not self.fused_blocks or h.layout != "std":
+        if h.layout != "std":
+            return None
+        width_ok = (
+            self.fused_min_width is not None
+            and h.value is not None
+            and h.value.shape[-1] >= self.fused_min_width
+        )
+        if not (self.fused_blocks or width_ok):
             return None
         from ..ops.pallas_blocks import (
             chain_params_from_q,
@@ -652,7 +667,7 @@ def quantize_hrnet(model: HRNet, variables, calib_x, s2d: bool = False) -> dict:
 def hrnet_int8_apply(
     cfg: HRNetConfig, q: dict, x, fused_blocks: bool | None = None,
     s2d: bool | None = None, layer1_strips: bool | None = None,
-    fused_even3: bool | None = None,
+    fused_even3: bool | None = None, fused_min_width: int | None = None,
 ) -> jnp.ndarray:
     """int8 forward. ``x``: (B, H, W, 3) normalized f32 (same contract as
     the bf16 model). Returns f32 heatmaps (B, H/4, W/4, J).
@@ -669,7 +684,8 @@ def hrnet_int8_apply(
         # the kernels remain available for experimentation.
         fused_blocks = False
     ops = _Int8Ops(q, x, q["in_scale"], fused_blocks=fused_blocks, s2d=s2d,
-                   layer1_strips=layer1_strips, fused_even3=fused_even3)
+                   layer1_strips=layer1_strips, fused_even3=fused_even3,
+                   fused_min_width=fused_min_width)
     return _forward(ops, cfg, x)
 
 
@@ -680,16 +696,19 @@ class HRNetInt8:
 
     def __init__(self, config: HRNetConfig, fused_blocks: bool | None = None,
                  s2d: bool | None = None, layer1_strips: bool | None = None,
-                 fused_even3: bool | None = None):
+                 fused_even3: bool | None = None,
+                 fused_min_width: int | None = None):
         self.config = config
         self.fused_blocks = fused_blocks
         self.s2d = s2d
         self.layer1_strips = layer1_strips
         self.fused_even3 = fused_even3
+        self.fused_min_width = fused_min_width
 
     def apply(self, q, x, train: bool = False):
         del train  # inference-only
         return hrnet_int8_apply(
             self.config, q, x, fused_blocks=self.fused_blocks, s2d=self.s2d,
             layer1_strips=self.layer1_strips, fused_even3=self.fused_even3,
+            fused_min_width=self.fused_min_width,
         )

@@ -161,6 +161,21 @@ def test_fused_blocks_match_per_op_walk(tiny_setup):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=1e-3)
 
 
+def test_fused_min_width_matches_per_op_walk(tiny_setup):
+    """Selective chain fusion (only branches with channel width >= the
+    threshold run the Pallas kernel; branch0 stays per-op) must
+    reproduce the plain walk."""
+    model, variables, q, rng = tiny_setup
+    x = jnp.asarray(rng.normal(0, 1.0, (2, 64, 64, 3)), jnp.float32)
+    ref = hrnet_int8_apply(model.config, q, x)
+    widths = sorted(
+        c * 1 for c in model.config.stage2.num_channels
+    )
+    out = hrnet_int8_apply(model.config, q, x, fused_min_width=widths[-1])
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=1e-3)
+
+
 @pytest.mark.smoke
 def test_s2d_walk_bit_exact(tiny_setup):
     """The space-to-depth packed branch0 (ops/s2d.py) is a pure weight
