@@ -46,7 +46,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 BASELINE_FPS = 2000.0
 T0 = time.time()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "3600"))
+# Budget: a phase only STARTS if elapsed < BUDGET_S; the longest phase
+# (the det_batch=64 every-frame graph) compiles ~30 min, so 1500 s keeps
+# the worst-case total under the driver's observed ~1 h window.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
 # Windowed DMA crop measured SLOWER than the full-frame contraction on
 # v5e (DMA row-overhead + VMEM ceilings), and int8 taps measured slower
@@ -335,13 +338,16 @@ def main():
     # tracked mode (detect every 16th frame, hold box).
     if not os.environ.get("BENCH_SKIP_FULL_PATH"):
         extra["det_kind"] = os.environ.get("BENCH_DET", "r101_1obj_int8")
-        # det_batch=32 for the every-frame point: at det_batch=8 the
+        # det_batch=64 for the every-frame point: at det_batch=8 the
         # HRNet stage runs at batch 8 where it is latency-bound (119.9
-        # fps); batching the stream to 32 frames amortizes both stages
-        # (measured 151.8 fps, exp_r3_batching).
+        # fps); batching the stream amortizes both stages (measured
+        # 151.8 fps at b32, 273.9 at b64 — exp_r3_batching). The cheap
+        # tracked mode runs FIRST: the b64 graph compiles ~30 min
+        # through the remote-compile service and must not cost the
+        # tracked number if the driver window closes.
         for key, kwargs in (
-            ("full_path_det_every_frame_fps", dict(det_batch=32, det_every=1)),
             ("full_path_det_every_16_fps", dict(det_batch=8, det_every=16)),
+            ("full_path_det_every_frame_fps", dict(det_batch=64, det_every=1)),
         ):
             if time.time() - T0 > BUDGET_S:
                 extra["budget_skipped"] = key
