@@ -109,3 +109,45 @@ def draw_detections(
         cv2.putText(out, f"{s:.2f}", (int(b[0]), max(int(b[1]) - 4, 10)),
                     cv2.FONT_HERSHEY_SIMPLEX, 0.6, color, 1)
     return out
+
+
+class VideoVisualizer:
+    """Track-stable detection overlay across a frame sequence — the
+    d2 ``utils/video_visualizer.py`` role (stable per-instance colors
+    frame to frame) on top of ``models/extra_layers.IouTracker``.
+
+    Usage: call ``draw_frame(image, boxes, scores)`` per frame in
+    order; each physical object keeps one color for its whole track.
+    """
+
+    _PALETTE = [
+        (0, 255, 0), (255, 128, 0), (0, 128, 255), (255, 0, 255),
+        (0, 255, 255), (255, 255, 0), (128, 0, 255), (0, 0, 255),
+    ]
+
+    def __init__(self, iou_threshold: float = 0.5, max_missed: int = 5):
+        from ..models.extra_layers import IouTracker
+
+        self.tracker = IouTracker(iou_threshold, max_missed)
+
+    def color_for(self, track_id: int):
+        return self._PALETTE[track_id % len(self._PALETTE)]
+
+    def draw_frame(
+        self,
+        image: np.ndarray,
+        boxes: np.ndarray,
+        scores: np.ndarray,
+    ) -> tuple[np.ndarray, list[int]]:
+        import cv2
+
+        ids = self.tracker.update(boxes, scores)
+        out = image.copy()
+        for b, s, tid in zip(np.asarray(boxes).reshape(-1, 4), scores, ids):
+            color = self.color_for(tid)
+            cv2.rectangle(out, (int(b[0]), int(b[1])), (int(b[2]), int(b[3])),
+                          color, 2)
+            cv2.putText(out, f"#{tid} {s:.2f}",
+                        (int(b[0]), max(int(b[1]) - 4, 10)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.6, color, 1)
+        return out, ids

@@ -37,6 +37,23 @@ class TestVis:
         out = vis.draw_detections(img, np.array([[5, 5, 30, 30]]), np.array([0.9]))
         assert out.sum() > 0
 
+    def test_video_visualizer_stable_track_colors(self):
+        vv = vis.VideoVisualizer(iou_threshold=0.3)
+        img = np.zeros((64, 64, 3), np.uint8)
+        # same object drifting across 3 frames keeps one track id; a far
+        # new object gets a different id
+        _, ids0 = vv.draw_frame(img, np.array([[5.0, 5, 30, 30]]), np.array([0.9]))
+        _, ids1 = vv.draw_frame(img, np.array([[7.0, 6, 32, 31]]), np.array([0.9]))
+        out, ids2 = vv.draw_frame(
+            img,
+            np.array([[9.0, 7, 34, 32], [40.0, 40, 60, 60]]),
+            np.array([0.9, 0.8]),
+        )
+        assert ids0[0] == ids1[0] == ids2[0]
+        assert ids2[1] != ids2[0]
+        assert vv.color_for(ids2[1]) != vv.color_for(ids2[0])
+        assert out.sum() > 0
+
 
 class TestAnalysis:
     def test_param_count_and_table(self):
