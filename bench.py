@@ -83,11 +83,43 @@ def build(batch, mode="int8"):
         lambda k: model.init(k, jnp.zeros((1, 512, 512, 3)), train=False)
     )(jax.random.key(0))
 
+    # BENCH_CKPT=<orbax dir>: time the pipeline on trained weights
+    # instead of the random init (throughput is weight-independent, but
+    # this catches numeric surprises like int8 saturation on real
+    # activation statistics).
+    ckpt = os.environ.get("BENCH_CKPT")
+    if ckpt:
+        from spacecraft_pose_estimation_tpu.train.checkpoint import CheckpointManager
+        from spacecraft_pose_estimation_tpu.train.optim import build_optimizer
+        from spacecraft_pose_estimation_tpu.train.state import TrainState
+
+        st = TrainState.create(model, variables, build_optimizer("adam", 1e-3))
+        restored = CheckpointManager(ckpt).restore(st)
+        if restored is None:
+            raise FileNotFoundError(ckpt)
+        variables = {
+            "params": restored[0].params,
+            "batch_stats": restored[0].batch_stats,
+        }
+        _progress(f"loaded trained weights from {ckpt}")
+
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.integers(0, 255, size=(batch, h, w, 3)), jnp.uint8)
-    boxes = jnp.asarray(
-        np.tile(np.array([[700.0, 400.0, 500.0, 420.0]], np.float32), (batch, 1))
-    )
+    if os.environ.get("BENCH_BOX_JITTER"):
+        # realistic serving distribution: per-frame box centers/scales
+        # spread over the sensor (the crop cost is data-independent —
+        # the separable warp taps are recomputed per box either way —
+        # so this is a credibility knob, not a different workload)
+        cx = rng.uniform(500.0, 1400.0, batch)
+        cy = rng.uniform(300.0, 900.0, batch)
+        s = rng.uniform(250.0, 700.0, batch)
+        boxes = jnp.asarray(
+            np.stack([cx - s / 2, cy - s * 0.42, s, s * 0.84], axis=1), jnp.float32
+        )
+    else:
+        boxes = jnp.asarray(
+            np.tile(np.array([[700.0, 400.0, 500.0, 420.0]], np.float32), (batch, 1))
+        )
     lm3d = rng.normal(size=(num_joints, 3)).astype(np.float32)
     K = np.array([[2988.6, 0, 960.0], [0, 2988.3, 600.0], [0, 0, 1]], np.float32)
     dist = np.zeros(5, np.float32)
