@@ -223,12 +223,17 @@ def hcontract_windows(
     )(oy, ox * 3, Wy.astype(jnp.bfloat16), frames2d)
 
 
-def _window_origins(centers, scales, h, w, window):
-    """Aligned-down window origins covering the square src crop."""
+def _window_origins(centers, scales, h, w, window, out_aspect=1.0):
+    """Aligned-down window origins covering the src crop.
+
+    ``out_aspect`` = out_h/out_w: the source crop's x extent is
+    scale[:,0]*200 but its y extent is that times the output aspect
+    (crop_affine_matrix scales isotropically by out_w/(scale0*200)), so
+    a 384x288-style non-square output reads a taller source region."""
     wh, ww = window
     side = scales[:, 0] * geometry.PIXEL_STD
     x0 = jnp.floor(centers[:, 0] - side * 0.5).astype(jnp.int32) - 1
-    y0 = jnp.floor(centers[:, 1] - side * 0.5).astype(jnp.int32) - 1
+    y0 = jnp.floor(centers[:, 1] - side * out_aspect * 0.5).astype(jnp.int32) - 1
     ox = jnp.clip(x0, 0, max(w - ww, 0))
     ox = (ox // _ALIGN_X) * _ALIGN_X
     oy = jnp.clip(y0, 0, max(h - wh, 0))
@@ -272,7 +277,9 @@ def crop_and_resize_window(
     wh, ww = _effective_window(h, w, window)
     if frames.dtype != jnp.uint8:
         frames = jnp.clip(frames, 0, 255).astype(jnp.uint8)
-    oy, ox = _window_origins(centers, scales, h, w, (wh, ww))
+    oy, ox = _window_origins(
+        centers, scales, h, w, (wh, ww), out_aspect=out_h / max(out_w, 1)
+    )
 
     def taps(center, scale, oy_i, ox_i):
         M_inv = geometry.crop_affine_matrix(center, scale, 0.0, out_size, inv=True)

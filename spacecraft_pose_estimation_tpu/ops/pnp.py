@@ -114,7 +114,13 @@ def _min_eigvec_pd(A: Array, shift_rel: float = 1e-6) -> Array:
     for _ in range(3):
         B = B / jnp.linalg.norm(B)
         B = _mm(B, B)
-    v = jnp.sum(B, axis=1)  # B @ ones
+    # Seed with the largest-norm COLUMN of B^8 (not B @ ones): after the
+    # squarings B ~ v1 v1^T, whose column j is v1 * v1[j]; the max-norm
+    # column has |v1[j]| >= 1/sqrt(n), so the seed can never be
+    # orthogonal to the target eigenvector (B @ ones collapses onto the
+    # runner-up whenever v1 . ones ~ 0, e.g. symmetric null vectors).
+    j = jnp.argmax(jnp.sum(B * B, axis=0))
+    v = B[:, j]
     v = _mm(B / jnp.linalg.norm(B), v[:, None])[:, 0]  # one polish step
     return v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
 
@@ -129,7 +135,11 @@ def _max_eigvec_sym4(K: Array) -> Array:
     for _ in range(7):
         A = A / jnp.maximum(jnp.linalg.norm(A), 1e-30)
         A = _mm(A, A)
-    v = jnp.sum(A, axis=1)
+    # max-norm column seed (see _min_eigvec_pd): A @ ones fails for
+    # q . ones = 0, e.g. a 180-degree rotation about an axis with
+    # ax + ay + az = 0, where q = (0, ax, ay, az)
+    j = jnp.argmax(jnp.sum(A * A, axis=0))
+    v = A[:, j]
     v = _mm(A / jnp.maximum(jnp.linalg.norm(A), 1e-30), v[:, None])[:, 0]
     return v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
 

@@ -17,16 +17,17 @@ class ToTensor:
 
     def __call__(self, pic):
         if isinstance(pic, torch.Tensor):
-            t = pic.float()
-        else:
-            arr = np.asarray(pic)
-            if arr.ndim == 2:
-                arr = arr[:, :, None]
-            t = torch.from_numpy(np.ascontiguousarray(arr.transpose(2, 0, 1)))
-            t = t.float()
-        if t.max() > 1.5:  # uint8-range input
-            t = t / 255.0
-        elif isinstance(pic, np.ndarray) and pic.dtype == np.uint8:
+            # real torchvision raises here — surfacing misuse beats
+            # silently feeding unscaled bytes into Normalize
+            raise TypeError(f"pic should be PIL Image or ndarray, got {type(pic)}")
+        arr = np.asarray(pic)  # ndarray or PIL image (mode -> dtype)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        t = torch.from_numpy(np.ascontiguousarray(arr.transpose(2, 0, 1))).float()
+        # real torchvision scales ONLY byte images; float/int16/int32
+        # arrays (and PIL 'F'/'I' modes) keep their range — scaling on
+        # magnitude would silently diverge the oracle from the reference
+        if arr.dtype == np.uint8:
             t = t / 255.0
         return t
 

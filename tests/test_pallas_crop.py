@@ -105,3 +105,26 @@ def test_hcontract_mode_matches_copy_mode(rng):
         lambda im, c, s: warp.crop_and_resize_mxu(im, c, s, (64, 64))
     )(frames.astype(jnp.float32), centers, scales)
     assert float(jnp.max(jnp.abs(a - ref))) < 2.5
+
+
+def test_windowed_nonsquare_out_matches_fullframe(rng):
+    """out_h > out_w: the source crop's y extent is side*out_h/out_w, so
+    the DMA window's y origin must anchor on that taller extent
+    (regression: anchoring on the square side left the top rows of the
+    window short and the crop came back with a zero band)."""
+    frames = _frames(rng, b=2, h=600, w=320)
+    centers = jnp.asarray([[160.0, 300.0], [150.0, 280.0]], jnp.float32)
+    side = 140.0
+    scales = jnp.full((2, 2), side / PIXEL_STD, jnp.float32)
+    window = (288, 256)
+    out_size = (48, 72)  # (width, height): y extent = side * 1.5 = 210
+
+    got = pallas_crop.crop_and_resize_window(
+        frames, centers, scales, out_size, window, compute_dtype=jnp.float32
+    )
+    want = jax.vmap(
+        lambda im, c, s: warp.crop_and_resize_mxu(im, c, s, out_size)
+    )(frames.astype(jnp.float32), centers, scales)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+    # the top rows must carry real data, not the zero band
+    assert float(jnp.max(got[:, :8])) > 0

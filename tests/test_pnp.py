@@ -166,3 +166,61 @@ class TestRansac:
         outs = solve(worlds, uvs, keys)
         for i, (_, R, t, _) in enumerate(scenes):
             assert rot_err_deg(np.asarray(outs["R"][i]), R) < 2.0
+
+
+class TestEigenseedRobustness:
+    """The fixed-depth eigensolvers must not depend on the target
+    eigenvector having a component along the all-ones vector (the old
+    B @ ones seed collapsed onto the runner-up eigenvector for symmetric
+    poses like 180-degree rotations about axes with ax+ay+az=0)."""
+
+    def test_kabsch_180deg_ones_orthogonal_axis(self):
+        # q = (0, ax, ay, az) with ax+ay+az = 0 -> q . ones = 0 exactly
+        rng = np.random.default_rng(7)
+        axis = np.array([1.0, -1.0, 0.0]) / np.sqrt(2.0)
+        R = Rotation.from_rotvec(np.pi * axis).as_matrix()
+        world = rng.uniform(-1, 1, (12, 3))
+        t = np.array([0.3, -0.2, 5.0])
+        cam = world @ R.T + t
+        R_hat, t_hat = pnp._kabsch(
+            jnp.asarray(world, jnp.float32),
+            jnp.asarray(cam, jnp.float32),
+            jnp.ones(12, jnp.float32),
+        )
+        assert rot_err_deg(np.asarray(R_hat), R) < 0.1
+        np.testing.assert_allclose(np.asarray(t_hat), t, atol=1e-3)
+
+    @pytest.mark.parametrize("axis", [(1.0, -1.0, 0.0), (0.0, 1.0, -1.0),
+                                      (1.0, 1.0, -2.0)])
+    def test_solve_pnp_180deg_axes(self, axis):
+        rng = np.random.default_rng(8)
+        a = np.asarray(axis) / np.linalg.norm(axis)
+        R = Rotation.from_rotvec(np.pi * a).as_matrix()
+        world = rng.uniform(-1, 1, (20, 3))
+        t = np.array([0.1, 0.05, 6.0])
+        uv = np.asarray(
+            G.project_points(
+                jnp.asarray(world, jnp.float32), jnp.asarray(R, jnp.float32),
+                jnp.asarray(t, jnp.float32), jnp.asarray(K, jnp.float32),
+                jnp.asarray(DIST, jnp.float32),
+            )
+        )
+        out = pnp.pnp_ransac(
+            jnp.asarray(world, jnp.float32), jnp.asarray(uv, jnp.float32),
+            jnp.asarray(K, jnp.float32), jnp.asarray(DIST, jnp.float32),
+            jnp.ones(20, jnp.float32), jax.random.key(0), num_hypotheses=64,
+        )
+        assert rot_err_deg(np.asarray(out["R"]), R) < 0.5
+
+    def test_min_eigvec_ones_orthogonal(self):
+        # PSD matrix whose MINIMUM eigenvector is exactly orthogonal to
+        # the all-ones vector
+        v1 = np.array([1.0, -1.0, 0.0, 0.0]) / np.sqrt(2.0)
+        rng = np.random.default_rng(9)
+        # complete to an orthonormal basis
+        Q, _ = np.linalg.qr(np.concatenate([v1[:, None], rng.normal(size=(4, 3))], 1))
+        Q[:, 0] = v1
+        lam = np.array([0.01, 1.0, 2.0, 3.0])
+        A = (Q * lam) @ Q.T
+        v = np.asarray(pnp._min_eigvec_pd(jnp.asarray(A, jnp.float32)))
+        assert abs(float(v @ v1)) > 0.999

@@ -92,3 +92,18 @@ class TestV2eCli:
              "-o", out, "--dvs_exposure", "duration", "0.02",
              "--dvs_text", "ev.csv", "--no_frames"])
         assert (out / "ev.csv").exists()
+
+    def test_output_in_place_with_synthetic_input_rejected(self):
+        """--output_in_place has no source folder under --synthetic_input:
+        must exit with a clear usage error, not a TypeError traceback."""
+        env = dict(os.environ, JAX_PLATFORMS="cpu", SPE_PLATFORM="cpu")
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "v2e.py"),
+             "--synthetic_input",
+             "spacecraft_pose_estimation_tpu.events.synthetic_input",
+             "--output_in_place"],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert r.returncode != 0
+        assert "output_in_place requires --input" in (r.stderr + r.stdout)
+        assert "TypeError" not in r.stderr

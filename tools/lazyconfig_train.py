@@ -129,7 +129,7 @@ def main(argv=None):
         lambda k: model.init(k, jax.numpy.zeros((1, size, size, 3)), train=True)
     )(jax.random.key(int(train_cfg.get("seed", 0))))
     state = TrainState.create(model, variables, tx)
-    step_fn = make_train_step()
+    step_fn = jax.jit(make_train_step())
 
     max_iter = int(train_cfg.get("max_iter", 40))
     log_period = int(train_cfg.get("log_period", 10))

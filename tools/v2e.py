@@ -81,6 +81,12 @@ def resolve_output_folder(args) -> str:
     """--output_in_place / --overwrite / --unique_output_folder
     semantics (v2e.py output folder handling)."""
     if args.output_in_place:
+        if not args.input:
+            # synthetic input has no source folder to write "in place"
+            raise SystemExit(
+                "--output_in_place requires --input (a file/folder); "
+                "use --output_folder with --synthetic_input"
+            )
         return args.input if os.path.isdir(args.input) else os.path.dirname(args.input)
     folder = args.output_folder
     if os.path.isdir(folder) and os.listdir(folder) and not args.overwrite:
