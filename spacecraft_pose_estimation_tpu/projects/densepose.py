@@ -47,6 +47,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .point_rend import interpolate_bilinear, upsample_bilinear
+
 Array = jax.Array
 
 
@@ -133,11 +135,9 @@ class DensePoseDeepLabHead(nn.Module):
 
 def _upsample_bilinear(x: Array, factor: int) -> Array:
     """torch F.interpolate(scale_factor, bilinear, align_corners=False)
-    == half-pixel-center resize (jax.image.resize 'linear')."""
-    n, h, w, c = x.shape
-    return jax.image.resize(
-        x, (n, h * factor, w * factor, c), method="linear"
-    )
+    — the shared point_rend implementation (one source of truth for the
+    torch-interpolate contract)."""
+    return upsample_bilinear(x, factor)
 
 
 class DensePoseChartPredictor(nn.Module):
@@ -453,7 +453,9 @@ def chart_result_for_grid(
     h, w = grid_hw
 
     def rs(z):
-        return jax.image.resize(z, (n, h, w, z.shape[-1]), method="linear")
+        # torch F.interpolate(bilinear) does NOT antialias on downscale;
+        # jax.image.resize('linear') does — use the torch-exact resampler
+        return interpolate_bilinear(z, (h, w))
 
     coarse = jnp.argmax(rs(out.coarse_segm), axis=-1)
     fine = jnp.argmax(rs(out.fine_segm), axis=-1)

@@ -128,22 +128,27 @@ class MultiScaleBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         dim_in = x.shape[-1]
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x_norm = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         y = MultiScaleAttention(
             self.dim_out, self.num_heads, self.q_stride, self.kv_stride,
             self.use_rel_pos, self.residual_pooling, dtype=self.dtype,
             name="attn",
-        )(y)
+        )(x_norm)
+        # upstream mvit.py projects the NORMED input on the shortcut
+        # (``x = self.proj(x_norm)``), not the raw block input
         short = x
         if dim_in != self.dim_out:
             short = nn.Dense(self.dim_out, dtype=self.dtype,
-                             name="shortcut_proj")(short)
+                             name="shortcut_proj")(x_norm)
         if self.q_stride > 1:
-            # shortcut pooled with a stride-s max pool (mvit.py uses the
-            # same spatial reduction on the residual branch)
+            # mvit.py pool_skip: MaxPool2d(kernel=stride+1, stride,
+            # padding=kernel//2, ceil_mode=False); flax pads max_pool
+            # with -inf like torch
+            k = self.q_stride + 1
             short = nn.max_pool(
-                short, (self.q_stride, self.q_stride),
+                short, (k, k),
                 strides=(self.q_stride, self.q_stride),
+                padding=((k // 2, k // 2), (k // 2, k // 2)),
             )
         x = short + y
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)

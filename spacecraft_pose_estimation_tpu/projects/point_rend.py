@@ -204,20 +204,22 @@ def sample_fine_grained_features(
     return jnp.concatenate(outs, axis=-1)
 
 
-def upsample_bilinear(x: Array, factor: int = 2) -> Array:
-    """Integer-factor bilinear upsample, align_corners=False (torch
-    F.interpolate semantics: target pixel i samples source
-    (i+0.5)/factor - 0.5)."""
+def interpolate_bilinear(x: Array, out_hw: tuple[int, int]) -> Array:
+    """torch ``F.interpolate(size=out_hw, mode='bilinear',
+    align_corners=False, antialias=False)`` on (N, H, W, C): plain 2-tap
+    bilinear at half-pixel centers in BOTH directions. NOT
+    ``jax.image.resize('linear')``, which widens the triangle filter
+    (antialiases) whenever the target is smaller than the source."""
     n, h, w, c = x.shape
-    f = float(factor)
+    oh, ow = int(out_hw[0]), int(out_hw[1])
     # torch clamps the source position to >= 0 (area_pixel_compute_
     # source_index with align_corners=False); the upper edge is handled
     # by index clamping below.
     ys = jnp.maximum(
-        (jnp.arange(factor * h, dtype=jnp.float32) + 0.5) / f - 0.5, 0.0
+        (jnp.arange(oh, dtype=jnp.float32) + 0.5) * (h / oh) - 0.5, 0.0
     )
     xs = jnp.maximum(
-        (jnp.arange(factor * w, dtype=jnp.float32) + 0.5) / f - 0.5, 0.0
+        (jnp.arange(ow, dtype=jnp.float32) + 0.5) * (w / ow) - 0.5, 0.0
     )
     y0 = jnp.floor(ys)
     x0 = jnp.floor(xs)
@@ -230,6 +232,13 @@ def upsample_bilinear(x: Array, factor: int = 2) -> Array:
     top = x[:, y0i][:, :, x0i] * (1 - fx) + x[:, y0i][:, :, x1i] * fx
     bot = x[:, y1i][:, :, x0i] * (1 - fx) + x[:, y1i][:, :, x1i] * fx
     return top * (1 - fy) + bot * fy
+
+
+def upsample_bilinear(x: Array, factor: int = 2) -> Array:
+    """Integer-factor bilinear upsample, align_corners=False (torch
+    F.interpolate semantics: target pixel i samples source
+    (i+0.5)/factor - 0.5)."""
+    return interpolate_bilinear(x, (x.shape[1] * factor, x.shape[2] * factor))
 
 
 def upsample2x_bilinear(x: Array) -> Array:
@@ -325,10 +334,14 @@ class ImplicitPointHead(nn.Module):
         cin = self.in_channels if self.image_feature_enabled else 0
         if self.positional_encoding_enabled:
             cin += 256
-            self.pos_matrix = self.param(
+            # fixed random-features matrix: the reference register_buffer's
+            # torch.randn((2,128)) (point_head.py:177) — a non-trainable
+            # buffer, so it must NOT live in the params collection where
+            # the optimizer would update it
+            self.pos_matrix_var = self.variable(
+                "buffers",
                 "positional_encoding_gaussian_matrix",
-                nn.initializers.normal(1.0),
-                (2, 128),
+                lambda: jax.random.normal(jax.random.PRNGKey(17), (2, 128)),
             )
         self._cin = cin
         ws, bs = [], []
@@ -346,7 +359,7 @@ class ImplicitPointHead(nn.Module):
         -> (R, P, num_classes)."""
         r, p = fine.shape[0], fine.shape[1]
         if self.positional_encoding_enabled:
-            loc = (2.0 * coords - 1.0) @ self.pos_matrix  # (R, P, 128)
+            loc = (2.0 * coords - 1.0) @ self.pos_matrix_var.value  # (R, P, 128)
             loc = 2.0 * jnp.pi * loc
             loc = jnp.concatenate([jnp.sin(loc), jnp.cos(loc)], axis=-1)
             fine = loc if not self.image_feature_enabled else jnp.concatenate(
@@ -607,8 +620,14 @@ class ImplicitPointRendMaskHead(nn.Module):
         )
 
     def __call__(self, feats, boxes, gt_masks=None, valid=None, rng=None,
-                 train: bool = False):
+                 train: bool = False, classes=None):
         c = self.cfg
+        if not train and not c.cls_agnostic and c.num_classes > 1 and classes is None:
+            # the reference passes pred_classes into _subdivision_inference
+            raise ValueError(
+                "ImplicitPointRendMaskHead inference with cls_agnostic=False "
+                "needs per-instance `classes` to select the foreground channel"
+            )
         params = self.parameter_head(self._pool(feats, boxes))  # (R, num_params)
         if train:
             coords = jax.random.uniform(
@@ -635,7 +654,7 @@ class ImplicitPointRendMaskHead(nn.Module):
         mask = logits.reshape(r, res, res, -1)
         for _ in range(c.subdivision_steps):
             mask = upsample2x_bilinear(mask)
-            unc = calculate_uncertainty(mask, None)
+            unc = calculate_uncertainty(mask, classes)
             idx, coords = uncertain_point_coords_on_grid(unc, c.subdivision_num_points)
             fine = sample_fine_grained_features(feats, c.point_in_strides, boxes, coords)
             pts = self.point_head(fine, coords, params)

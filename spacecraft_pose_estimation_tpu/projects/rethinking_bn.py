@@ -68,11 +68,18 @@ class CycleBatchNorm(nn.Module):
             m = jnp.mean(x.astype(jnp.float32), axis=axes)
             v = jnp.var(x.astype(jnp.float32), axis=axes)
             if not self.is_initializing():
+                # torch BatchNorm2d tracks the UNBIASED variance in
+                # running_var (normalizes the batch with the biased one)
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                v_unb = v * (n / max(n - 1, 1))
                 mean_all.value = mean_all.value.at[domain].set(
                     self.momentum * mean_all.value[domain] + (1 - self.momentum) * m
                 )
                 var_all.value = var_all.value.at[domain].set(
-                    self.momentum * var_all.value[domain] + (1 - self.momentum) * v
+                    self.momentum * var_all.value[domain]
+                    + (1 - self.momentum) * v_unb
                 )
         else:
             m, v = mean_all.value[domain], var_all.value[domain]

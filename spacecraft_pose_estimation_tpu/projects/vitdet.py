@@ -82,15 +82,56 @@ def window_unpartition(
     return x[:, :h, :w]
 
 
+def _cubic_weights(t: Array, a: float = -0.75):
+    """4-tap cubic-convolution weights at fractional offset ``t`` for
+    taps (-1, 0, +1, +2) — torch's upsample_bicubic2d kernel (A=-0.75;
+    jax.image.resize 'bicubic' uses the Keys A=-0.5 filter instead)."""
+
+    def cc1(x):  # |x| <= 1
+        return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0
+
+    def cc2(x):  # 1 < |x| < 2
+        return ((a * x - 5.0 * a) * x + 8.0 * a) * x - 4.0 * a
+
+    return cc2(t + 1.0), cc1(t), cc1(1.0 - t), cc2(2.0 - t)
+
+
+def interpolate_bicubic(x: Array, out_hw: tuple[int, int], a: float = -0.75) -> Array:
+    """torch ``F.interpolate(size=out_hw, mode='bicubic',
+    align_corners=False)`` on (N, H, W, C): separable 4-tap cubic at
+    half-pixel centers, per-tap edge clamping (upsample_get_value_bounded),
+    source coordinate NOT pre-clamped (cubic branch of
+    area_pixel_compute_source_index)."""
+    n, h, w, c = x.shape
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+
+    def axis_taps(size, out):
+        src = (jnp.arange(out, dtype=jnp.float32) + 0.5) * (size / out) - 0.5
+        i0 = jnp.floor(src)
+        t = src - i0
+        ws = _cubic_weights(t, a)
+        idx = [jnp.clip(i0.astype(jnp.int32) + k, 0, size - 1) for k in (-1, 0, 1, 2)]
+        return idx, ws
+
+    yi, yw = axis_taps(h, oh)
+    rows = sum(x[:, yi[k]] * yw[k][None, :, None, None] for k in range(4))
+    xi, xw = axis_taps(w, ow)
+    return sum(rows[:, :, xi[k]] * xw[k][None, None, :, None] for k in range(4))
+
+
 def get_rel_pos(q_size: int, k_size: int, rel_pos: Array) -> Array:
     """Slice/interpolate the (2*max-1, head_dim) table to the
     (q_size, k_size) relative-distance matrix (vit.py get_rel_pos
     semantics; equal q/k sizes here so no rescaling branch)."""
     max_rel_dist = 2 * max(q_size, k_size) - 1
     if rel_pos.shape[0] != max_rel_dist:
-        rel_pos = jax.image.resize(
-            rel_pos, (max_rel_dist, rel_pos.shape[1]), method="linear"
-        )
+        # vit.py uses F.interpolate(mode='linear') — torch semantics (no
+        # antialias on shrink), via the shared 2-tap resampler
+        from .point_rend import interpolate_bilinear
+
+        rel_pos = interpolate_bilinear(
+            rel_pos[None, :, None, :], (max_rel_dist, 1)
+        )[0, :, 0, :]
     q_coords = jnp.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
     k_coords = jnp.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
     rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
@@ -200,7 +241,9 @@ class ViTDetBackbone(nn.Module):
             (1, cfg.pretrain_grid, cfg.pretrain_grid, cfg.embed_dim),
         )
         if (cfg.pretrain_grid, cfg.pretrain_grid) != (h, w):
-            pos = jax.image.resize(pos, (1, h, w, c), method="bicubic")
+            # torch bicubic (A=-0.75), matching get_abs_pos's
+            # F.interpolate — NOT jax.image.resize's Keys A=-0.5 filter
+            pos = interpolate_bicubic(pos, (h, w))
         x = x + pos.astype(x.dtype)
         for i in range(cfg.depth):
             win = 0 if i in cfg.global_blocks else cfg.window_size

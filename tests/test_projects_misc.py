@@ -238,3 +238,30 @@ class TestDesktopHelpers:
         assert desktop.is_standard()
         pid = desktop.open(str(marker), wait=True)
         assert pid is not None and marker.exists()
+
+
+class TestCycleBNRunningStats:
+    def test_running_stats_match_torch_bn(self):
+        """running_var must track the UNBIASED batch variance like
+        torch.nn.BatchNorm2d (biased-var EMA drifts low by (n-1)/n)."""
+        rng = np.random.default_rng(11)
+        xs = [rng.normal(1.5, 2.0, size=(4, 3, 3, 2)).astype(np.float32)
+              for _ in range(3)]
+        bn = RB.CycleBatchNorm(num_domains=1, features=2, momentum=0.9)
+        state = bn.init(jax.random.key(0), jnp.asarray(xs[0]), 0, train=True)
+        tb = torch.nn.BatchNorm2d(2, eps=1e-5, momentum=0.1)
+        tb.train()
+        for x in xs:
+            _, upd = bn.apply(state, jnp.asarray(x), 0, train=True,
+                              mutable=["batch_stats"])
+            state = {"params": state["params"],
+                     "batch_stats": upd["batch_stats"]}
+            tb(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        np.testing.assert_allclose(
+            np.asarray(state["batch_stats"]["mean"][0]),
+            tb.running_mean.detach().numpy(), rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(state["batch_stats"]["var"][0]),
+            tb.running_var.detach().numpy(), rtol=1e-5,
+        )

@@ -323,3 +323,65 @@ class TestHeads:
         assert np.isfinite(float(loss))
         sem, _ = head.apply(vs, coarse, fine, train=False)
         assert sem.shape == (2, 64, 64, 3)
+
+
+class TestInterpolateBilinear:
+    @pytest.mark.parametrize("out_hw", [(4, 6), (16, 16), (24, 5), (7, 7)])
+    def test_matches_torch_up_and_down(self, out_hw):
+        """interpolate_bilinear == F.interpolate(bilinear, antialias=False)
+        in BOTH directions — jax.image.resize('linear') antialiases on
+        downscale and would diverge."""
+        rng = np.random.default_rng(21)
+        x = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+        got = np.asarray(PR.interpolate_bilinear(jnp.asarray(x), out_hw))
+        ref = (
+            torch.nn.functional.interpolate(
+                torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                size=out_hw, mode="bilinear", align_corners=False,
+            ).numpy().transpose(0, 2, 3, 1)
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+class TestImplicitHeadBuffer:
+    def test_pos_matrix_is_buffer_not_param(self):
+        """The Fourier-features matrix is a fixed buffer (reference
+        register_buffer, point_head.py:177) — it must not receive
+        optimizer updates via the params collection."""
+        head = PR.ImplicitPointHead(
+            num_classes=1, channels=8, num_layers=2, in_channels=4,
+            image_feature_enabled=True, positional_encoding_enabled=True,
+        )
+        rng = np.random.default_rng(22)
+        fine = jnp.asarray(rng.normal(size=(2, 5, 4)).astype(np.float32))
+        coords = jnp.asarray(rng.uniform(0, 1, (2, 5, 2)).astype(np.float32))
+        cin = 4 + 256
+        nparams = 8 * cin + 8 + 1 * 8 + 1
+        params = jnp.asarray(rng.normal(size=(2, nparams)).astype(np.float32))
+        vs = head.init(jax.random.key(0), fine, coords, params)
+        assert "buffers" in vs
+        assert "positional_encoding_gaussian_matrix" in vs["buffers"]
+        flat_params = jax.tree_util.tree_leaves(vs.get("params", {}))
+        assert all(p.shape != (2, 128) for p in flat_params)
+        out = head.apply(vs, fine, coords, params)
+        assert out.shape == (2, 5, 1)
+
+
+class TestImplicitMaskHeadClasses:
+    def test_non_agnostic_inference_requires_classes(self):
+        cfg = PR.PointRendConfig(
+            coarse_resolution=7, train_num_points=16, subdivision_steps=1,
+            subdivision_num_points=16, fc_dim=16, num_fc=1,
+            cls_agnostic=False, num_classes=3,
+        )
+        head = PR.ImplicitPointRendMaskHead(cfg=cfg, in_channels=16)
+        feats = [jnp.zeros((32, 32, 16))]
+        boxes = jnp.asarray([[4.0, 4.0, 20.0, 20.0]])
+        gt = jnp.zeros((1, 128, 128))
+        vs = head.init(jax.random.key(0), feats, boxes, gt_masks=gt,
+                       rng=jax.random.key(1), train=True)
+        with pytest.raises(ValueError, match="classes"):
+            head.apply(vs, feats, boxes, train=False)
+        mask = head.apply(vs, feats, boxes, train=False,
+                          classes=jnp.asarray([1], jnp.int32))
+        assert mask.shape[0] == 1 and mask.shape[-1] == 3

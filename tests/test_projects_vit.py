@@ -206,3 +206,89 @@ class TestMViTv2:
         g = jax.grad(loss)(variables["params"])
         leaves = jax.tree_util.tree_leaves(g)
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+torch = pytest.importorskip("torch")
+
+
+class TestTorchInterpOracles:
+    @pytest.mark.parametrize("out_hw", [(5, 9), (14, 14), (20, 6)])
+    def test_bicubic_matches_torch(self, out_hw):
+        """interpolate_bicubic == F.interpolate(bicubic, A=-0.75) up AND
+        down (jax.image.resize uses Keys A=-0.5 and antialiases)."""
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(2, 10, 10, 3)).astype(np.float32)
+        got = np.asarray(vitdet.interpolate_bicubic(jnp.asarray(x), out_hw))
+        ref = (
+            torch.nn.functional.interpolate(
+                torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                size=out_hw, mode="bicubic", align_corners=False,
+            )
+            .numpy().transpose(0, 2, 3, 1)
+        )
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    @pytest.mark.parametrize("out_len", [7, 31])
+    def test_rel_pos_resize_matches_torch_linear(self, out_len):
+        rng = np.random.default_rng(3)
+        table = rng.normal(size=(15, 4)).astype(np.float32)
+        q = k = (out_len + 1) // 2
+        got = np.asarray(vitdet.get_rel_pos(q, k, jnp.asarray(table)))
+        ref_t = (
+            torch.nn.functional.interpolate(
+                torch.from_numpy(table.T[None]), size=out_len, mode="linear",
+                align_corners=False,
+            )[0].numpy().T
+        )
+        coords = np.arange(q)[:, None] - np.arange(k)[None, :] + (k - 1)
+        np.testing.assert_allclose(got, ref_t[coords], atol=2e-6)
+
+
+class TestMViTBlockSemantics:
+    def test_transition_block_constant_shift_invariant(self):
+        """The stage-transition shortcut projects norm1(x) (upstream
+        mvit.py `x = self.proj(x_norm)`), so a constant input shift —
+        which LayerNorm removes — must not change the block output.
+        (Projecting the RAW input, the old bug, breaks this.)"""
+        blk = mvitv2.MultiScaleBlock(
+            dim_out=8, num_heads=1, q_stride=2, kv_stride=1, mlp_ratio=1.0,
+            use_rel_pos=False, residual_pooling=True,
+        )
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))
+        vs = blk.init(jax.random.key(0), x)
+        a = np.asarray(blk.apply(vs, x))
+        b = np.asarray(blk.apply(vs, x + 3.7))
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+    @pytest.mark.parametrize("hw", [(8, 8), (7, 9)])
+    def test_pool_skip_matches_torch_maxpool(self, hw):
+        """Shortcut pooling = MaxPool2d(kernel=3, stride=2, padding=1,
+        ceil_mode=False): verify shapes on even AND odd maps (torch
+        floor((H+2-3)/2)+1) and values via a direct torch oracle on the
+        flax pool used in the block."""
+        from flax import linen as fnn
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(1, *hw, 4)).astype(np.float32)
+        got = np.asarray(fnn.max_pool(
+            jnp.asarray(x), (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+        ))
+        ref = (
+            torch.nn.MaxPool2d(3, 2, 1, ceil_mode=False)(
+                torch.from_numpy(x.transpose(0, 3, 1, 2))
+            ).numpy().transpose(0, 2, 3, 1)
+        )
+        np.testing.assert_allclose(got, ref)
+
+    def test_transition_block_output_shape_odd(self):
+        blk = mvitv2.MultiScaleBlock(
+            dim_out=8, num_heads=1, q_stride=2, kv_stride=1, mlp_ratio=1.0,
+            use_rel_pos=False, residual_pooling=True,
+        )
+        x = jnp.zeros((1, 7, 9, 4))
+        vs = blk.init(jax.random.key(0), x)
+        out = blk.apply(vs, x)
+        # q conv pool SAME stride2 -> ceil(7/2)=4, ceil(9/2)=5; the
+        # 3x3/s2/p1 skip pool gives the same floor((n-1)/2)+1 sizes
+        assert out.shape == (1, 4, 5, 8)
