@@ -107,3 +107,17 @@ class TestV2eCli:
         assert r.returncode != 0
         assert "output_in_place requires --input" in (r.stderr + r.stdout)
         assert "TypeError" not in r.stderr
+
+    def test_check_lowpass_warning(self, frames_dir, tmp_path):
+        """Under-sampled IIR lowpass must emit the v2e_utils.check_lowpass
+        warning (eps = dt/tau > 0.3); a well-sampled run must not."""
+        out = tmp_path / "o"
+        r = run(["-i", frames_dir, "-o", out, "--cutoff_hz", "300",
+                 "--input_frame_rate", "30", "--disable_slomo",
+                 "--dvs_exposure", "duration", "0.05", "--no_frames"])
+        assert "under-sampled" in r.stderr
+        out2 = tmp_path / "o2"
+        r2 = run(["-i", frames_dir, "-o", out2, "--cutoff_hz", "1",
+                  "--input_frame_rate", "30", "--disable_slomo",
+                  "--dvs_exposure", "duration", "0.05", "--no_frames"])
+        assert "under-sampled" not in r2.stderr

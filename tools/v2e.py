@@ -19,6 +19,7 @@ on this headless TPU image.
 """
 
 import argparse
+import math
 import os
 import sys
 
@@ -75,6 +76,28 @@ def set_output_dimension(args):
     if w is None or h is None:
         w = h = None  # auto from source
     return w, h
+
+
+def check_lowpass(cutoff_hz: float, fs: float) -> bool:
+    """Warn when the IIR photoreceptor lowpass is under-sampled
+    (v2e_utils.py:192-224: eps = dt/tau must stay <= 0.3 or the filter
+    degenerates to mixing only the last sample). Returns True if OK."""
+    if cutoff_hz <= 0 or fs <= 0:
+        return True
+    maxeps = 0.3
+    tau = 1.0 / (2 * math.pi * cutoff_hz)
+    eps = (1.0 / fs) / tau
+    if eps > maxeps:
+        print(
+            f"WARNING: lowpass cutoff {cutoff_hz:g} Hz (tau={tau:.3g}s) is "
+            f"under-sampled at fs={fs:g} Hz: IIR mixing factor "
+            f"eps=dt/tau={eps:.3f} > {maxeps}; decrease "
+            f"--timestamp_resolution below {tau * maxeps:.3g}s or "
+            f"--cutoff_hz below {maxeps * fs / (2 * math.pi):.3g} Hz",
+            file=sys.stderr,
+        )
+        return False
+    return True
 
 
 def resolve_output_folder(args) -> str:
@@ -360,6 +383,7 @@ def main():
 
     dt = 1.0 / (in_rate * max(upsample, 1))
     timestamps = np.arange(n) * dt
+    check_lowpass(cfg.cutoff_hz, 1.0 / dt)
 
     seed = args.dvs_emulator_seed if args.dvs_emulator_seed is not None else args.seed
     state = init_state(jnp.asarray(frames[0]), jax.random.key(seed), cfg)
