@@ -122,3 +122,32 @@ for label, body in [("C conv-only ", body_C), ("A walk      ", body_A),
     per = v * 1e3 / NBLOCK
     print(f"{label}: {v*1e3:7.3f} ms scan-iter  {per:6.4f} ms/block  "
           f"bytes={by/1e6 if by == by else -1:.1f} MB", flush=True)
+
+
+# ---- whole-model A/B: per-op walk vs fold_residual at b128 ----------------
+if os.environ.get("PROBE_MODEL", "1") == "1":
+    from spacecraft_pose_estimation_tpu.models.hrnet import HRNet, POSE_HRNET_W32
+    from spacecraft_pose_estimation_tpu.models import hrnet_int8 as hi
+    from spacecraft_pose_estimation_tpu.pipeline import normalize_crops
+
+    mrng = np.random.default_rng(0)
+    model = HRNet(config=POSE_HRNET_W32.with_joints(11), dtype=jnp.bfloat16)
+    variables = jax.jit(
+        lambda k: model.init(k, jnp.zeros((1, 512, 512, 3)), train=False)
+    )(jax.random.key(0))
+    calib = normalize_crops(
+        jnp.asarray(mrng.integers(0, 255, (4, 512, 512, 3)), jnp.float32)
+    )
+    q = hi.quantize_hrnet(model, variables, calib, s2d=False)
+    xin = jnp.asarray(mrng.normal(size=(128, 512, 512, 3)), jnp.float32)
+
+    for fold in (False, True):
+        def mbody(q, xin, pert, fold=fold):
+            out = hi.hrnet_int8_apply(
+                model.config, q, xin + pert, fold_residual=fold
+            )
+            return jnp.sum(out) * 1e-9
+
+        v = marginal(scanner(mbody), q, xin)
+        print(f"model b128 fold_residual={fold}: {v*1e3:8.2f} ms "
+              f"({128/v:7.1f} fps model-only)", flush=True)

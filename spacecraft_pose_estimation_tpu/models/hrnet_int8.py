@@ -149,11 +149,22 @@ class _Int8Ops:
     def __init__(self, q, x, in_scale, fused_blocks: bool = False,
                  s2d: bool | None = None, layer1_strips: bool | None = None,
                  fused_even3: bool | None = None,
-                 fused_min_width: int | None = None):
+                 fused_min_width: int | None = None,
+                 fold_residual: bool = False):
         self.q = q
         self.x = x
         self.in_scale = in_scale
         self.fused_blocks = fused_blocks
+        # fold_residual: convs that feed ONLY a residual/fuse add
+        # (relu=False sites except the fuse up-1x1s, whose output is
+        # upsampled first) skip their int8 materialization — the add
+        # consumes the pre-round f32 epilogue, so XLA can fuse
+        # conv->requant->add->requant into ONE output fusion instead of
+        # paying an int8 write+read of the activation per block. NOT
+        # bit-identical to the per-op walk (one intermediate quantization
+        # is skipped — strictly CLOSER to the f32 model); gated by the
+        # pose-error acceptance test.
+        self.fold_residual = fold_residual
         # Selective chain fusion: fuse only branches whose channel width
         # is >= this (the wide low-res branches, where the in-kernel dots
         # run at N>=64 lanes AND the per-op walk pays ~35 us/site
@@ -334,7 +345,7 @@ class _Int8Ops:
         c = self.q["convs"][name]
         k = c["w8"].shape[0]
         y = jax.lax.conv_general_dilated(
-            h.value,
+            h.value if h.layout == "std" else self._requant(h).value,
             c["w8"],
             (stride, stride),
             [(k // 2, k // 2)] * 2,
@@ -344,8 +355,26 @@ class _Int8Ops:
         f = y.astype(jnp.float32) * c["m"] + c["b"]
         if relu:
             f = jnp.maximum(f, 0)
+        if (
+            self.fold_residual
+            and not relu
+            and "/fuse/up" not in name
+            and h.layout == "std"
+        ):
+            # consumer is a residual/fuse add at the same resolution:
+            # hand it the pre-round f32 epilogue (value in s_out units)
+            return _Handle(f, None, name, "f32pre")
         return _Handle(
             jnp.clip(jnp.round(f), -127, 127).astype(jnp.int8), None, name
+        )
+
+    def _requant(self, h):
+        """Round a pre-round f32pre handle back to int8 (safety net for
+        consumers other than `add`; unused on the standard walk)."""
+        assert h.layout == "f32pre", h
+        return _Handle(
+            jnp.clip(jnp.round(h.value), -127, 127).astype(jnp.int8),
+            None, h.site,
         )
 
     def _convbn_s2d(self, name, h, stride, relu, c2):
@@ -389,12 +418,22 @@ class _Int8Ops:
 
     def add(self, name, hs, relu):
         coeffs = self.q["adds"][name]["coeffs"]
-        f = sum(h.value.astype(jnp.float32) * coeffs[i] for i, h in enumerate(hs))
+        # f32pre operands are already real-valued in their site's scale
+        # units (pre-round conv epilogues — fold_residual); int8 operands
+        # widen on the fly. Both multiply by the same calibrated coeff.
+        f = sum(
+            (h.value if h.layout == "f32pre" else h.value.astype(jnp.float32))
+            * coeffs[i]
+            for i, h in enumerate(hs)
+        )
         if relu:
             f = jnp.maximum(f, 0)
+        out_layout = next(
+            (h.layout for h in hs if h.layout != "f32pre"), "std"
+        )
         return _Handle(
             jnp.clip(jnp.round(f), -127, 127).astype(jnp.int8), None, name,
-            hs[0].layout,
+            out_layout,
         )
 
     def upsample(self, h, factor, like=None):
@@ -668,6 +707,7 @@ def hrnet_int8_apply(
     cfg: HRNetConfig, q: dict, x, fused_blocks: bool | None = None,
     s2d: bool | None = None, layer1_strips: bool | None = None,
     fused_even3: bool | None = None, fused_min_width: int | None = None,
+    fold_residual: bool = False,
 ) -> jnp.ndarray:
     """int8 forward. ``x``: (B, H, W, 3) normalized f32 (same contract as
     the bf16 model). Returns f32 heatmaps (B, H/4, W/4, J).
@@ -685,7 +725,8 @@ def hrnet_int8_apply(
         fused_blocks = False
     ops = _Int8Ops(q, x, q["in_scale"], fused_blocks=fused_blocks, s2d=s2d,
                    layer1_strips=layer1_strips, fused_even3=fused_even3,
-                   fused_min_width=fused_min_width)
+                   fused_min_width=fused_min_width,
+                   fold_residual=fold_residual)
     return _forward(ops, cfg, x)
 
 
@@ -697,13 +738,15 @@ class HRNetInt8:
     def __init__(self, config: HRNetConfig, fused_blocks: bool | None = None,
                  s2d: bool | None = None, layer1_strips: bool | None = None,
                  fused_even3: bool | None = None,
-                 fused_min_width: int | None = None):
+                 fused_min_width: int | None = None,
+                 fold_residual: bool = False):
         self.config = config
         self.fused_blocks = fused_blocks
         self.s2d = s2d
         self.layer1_strips = layer1_strips
         self.fused_even3 = fused_even3
         self.fused_min_width = fused_min_width
+        self.fold_residual = fold_residual
 
     def apply(self, q, x, train: bool = False):
         del train  # inference-only
@@ -711,4 +754,5 @@ class HRNetInt8:
             self.config, q, x, fused_blocks=self.fused_blocks, s2d=self.s2d,
             layer1_strips=self.layer1_strips, fused_even3=self.fused_even3,
             fused_min_width=self.fused_min_width,
+            fold_residual=self.fold_residual,
         )
