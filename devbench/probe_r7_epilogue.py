@@ -141,13 +141,14 @@ if os.environ.get("PROBE_MODEL", "1") == "1":
     q = hi.quantize_hrnet(model, variables, calib, s2d=False)
     xin = jnp.asarray(mrng.normal(size=(128, 512, 512, 3)), jnp.float32)
 
-    for fold in (False, True):
-        def mbody(q, xin, pert, fold=fold):
+    for fold, fup in ((False, False), (True, False), (True, True)):
+        def mbody(q, xin, pert, fold=fold, fup=fup):
             out = hi.hrnet_int8_apply(
-                model.config, q, xin + pert, fold_residual=fold
+                model.config, q, xin + pert,
+                fold_residual=fold, fold_fuse_up=fup,
             )
             return jnp.sum(out) * 1e-9
 
         v = marginal(scanner(mbody), q, xin)
-        print(f"model b128 fold_residual={fold}: {v*1e3:8.2f} ms "
-              f"({128/v:7.1f} fps model-only)", flush=True)
+        print(f"model b128 fold_residual={fold} fold_fuse_up={fup}: "
+              f"{v*1e3:8.2f} ms ({128/v:7.1f} fps model-only)", flush=True)

@@ -150,11 +150,19 @@ class _Int8Ops:
                  s2d: bool | None = None, layer1_strips: bool | None = None,
                  fused_even3: bool | None = None,
                  fused_min_width: int | None = None,
-                 fold_residual: bool = False):
+                 fold_residual: bool = False,
+                 fold_fuse_up: bool = False):
         self.q = q
         self.x = x
         self.in_scale = in_scale
         self.fused_blocks = fused_blocks
+        # fold_fuse_up: also hand the fuse-layer up-1x1 conv outputs to
+        # their adds as pre-round f32 THROUGH the nearest upsample — the
+        # upsample is a broadcast+reshape XLA fuses into the add's read,
+        # so neither the int8 low-res tensor nor the upsampled f32 is
+        # materialized. Separate knob: if XLA materializes the broadcast
+        # after all, f32 costs 4x the int8 bytes. Requires fold_residual.
+        self.fold_fuse_up = fold_fuse_up
         # fold_residual: convs that feed ONLY a residual/fuse add
         # (relu=False sites except the fuse up-1x1s, whose output is
         # upsampled first) skip their int8 materialization — the add
@@ -358,7 +366,7 @@ class _Int8Ops:
         if (
             self.fold_residual
             and not relu
-            and "/fuse/up" not in name
+            and ("/fuse/up" not in name or self.fold_fuse_up)
             and h.layout == "std"
         ):
             # consumer is a residual/fuse add at the same resolution:
@@ -443,7 +451,11 @@ class _Int8Ops:
             return _Handle(
                 s2d_ops.upsample_std_to_even(h.value, factor), None, h.site, "even"
             )
-        return _Handle(_upsample_i8(h.value, factor), None, h.site)
+        # f32pre passes through: the broadcast fuses into the consuming
+        # add (fold_fuse_up), keeping the layout tag so the add skips the
+        # int8 widening
+        out_layout = "f32pre" if h.layout == "f32pre" else "std"
+        return _Handle(_upsample_i8(h.value, factor), None, h.site, out_layout)
 
     def final(self, name, h):
         if h.layout == "even":
@@ -707,7 +719,7 @@ def hrnet_int8_apply(
     cfg: HRNetConfig, q: dict, x, fused_blocks: bool | None = None,
     s2d: bool | None = None, layer1_strips: bool | None = None,
     fused_even3: bool | None = None, fused_min_width: int | None = None,
-    fold_residual: bool = False,
+    fold_residual: bool = False, fold_fuse_up: bool = False,
 ) -> jnp.ndarray:
     """int8 forward. ``x``: (B, H, W, 3) normalized f32 (same contract as
     the bf16 model). Returns f32 heatmaps (B, H/4, W/4, J).
@@ -726,7 +738,7 @@ def hrnet_int8_apply(
     ops = _Int8Ops(q, x, q["in_scale"], fused_blocks=fused_blocks, s2d=s2d,
                    layer1_strips=layer1_strips, fused_even3=fused_even3,
                    fused_min_width=fused_min_width,
-                   fold_residual=fold_residual)
+                   fold_residual=fold_residual, fold_fuse_up=fold_fuse_up)
     return _forward(ops, cfg, x)
 
 
@@ -739,7 +751,8 @@ class HRNetInt8:
                  s2d: bool | None = None, layer1_strips: bool | None = None,
                  fused_even3: bool | None = None,
                  fused_min_width: int | None = None,
-                 fold_residual: bool = False):
+                 fold_residual: bool = False,
+                 fold_fuse_up: bool = False):
         self.config = config
         self.fused_blocks = fused_blocks
         self.s2d = s2d
@@ -747,6 +760,7 @@ class HRNetInt8:
         self.fused_even3 = fused_even3
         self.fused_min_width = fused_min_width
         self.fold_residual = fold_residual
+        self.fold_fuse_up = fold_fuse_up
 
     def apply(self, q, x, train: bool = False):
         del train  # inference-only
@@ -754,5 +768,5 @@ class HRNetInt8:
             self.config, q, x, fused_blocks=self.fused_blocks, s2d=self.s2d,
             layer1_strips=self.layer1_strips, fused_even3=self.fused_even3,
             fused_min_width=self.fused_min_width,
-            fold_residual=self.fold_residual,
+            fold_residual=self.fold_residual, fold_fuse_up=self.fold_fuse_up,
         )

@@ -241,3 +241,20 @@ def test_fold_residual_w32_jits():
         lambda q, x: hrnet_int8_apply(model_t.config, q, x, fold_residual=True)
     )(qt, x)
     assert out.shape == (1, 16, 16, 5)
+
+
+def test_fold_fuse_up_close_to_walk(tiny_setup):
+    """fold_fuse_up extends folding through the fuse-layer upsample
+    (broadcast fuses into the add). Same closeness contract."""
+    model, variables, q, rng = tiny_setup
+    x = jnp.asarray(rng.normal(0, 1.2, (2, 64, 64, 3)), jnp.float32)
+    ref_f32 = np.asarray(model.apply(variables, x, train=False))
+    walk = np.asarray(hrnet_int8_apply(model.config, q, x, s2d=False))
+    fold = np.asarray(hrnet_int8_apply(
+        model.config, q, x, s2d=False, fold_residual=True, fold_fuse_up=True
+    ))
+    scale = np.abs(ref_f32).max() + 1e-9
+    assert np.abs(fold - ref_f32).max() / scale < 0.2
+    assert np.corrcoef(fold.ravel(), ref_f32.ravel())[0, 1] > 0.97
+    assert np.abs(fold - walk).max() / scale < 0.1
+    assert np.corrcoef(fold.ravel(), walk.ravel())[0, 1] > 0.995
