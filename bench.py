@@ -136,7 +136,12 @@ def build(batch, mode="int8"):
         # s2d=False: the even3/alt packed walks measured SLOWER in situ
         # (111 vs 83.6 ms/b128, probe_r3d) despite faster isolated convs
         q = quantize_hrnet(model, variables, calib, s2d=False)
-        serving_model = HRNetInt8(model.config)
+        # BENCH_FOLD: 1 = fold residual adds into conv epilogues,
+        # 2 = also fold the fuse-up path (see hrnet_int8.fold_residual)
+        fold = int(os.environ.get("BENCH_FOLD", "0"))
+        serving_model = HRNetInt8(
+            model.config, fold_residual=fold >= 1, fold_fuse_up=fold >= 2
+        )
         serving_vars = q
     else:
         serving_model, serving_vars = model, variables
@@ -251,9 +256,12 @@ def build_full_path(det_batch=8, det_every=16, det_kind=None):
             - mean
         ) / std
         qb = quantize_backbone(det_cfg.backbone, det_vars, calib_det)
+        fold_det = int(os.environ.get("BENCH_FOLD", "0")) >= 1
 
         def detect(v, lb):
-            feats = backbone_int8_apply(det_cfg.backbone, qb, (lb - mean) / std)
+            feats = backbone_int8_apply(
+                det_cfg.backbone, qb, (lb - mean) / std, fold_residual=fold_det
+            )
             return det_model.apply(v, lb, train=False, precomputed_feats=feats)
     else:
         def detect(v, lb):
@@ -267,7 +275,10 @@ def build_full_path(det_batch=8, det_every=16, det_kind=None):
         jnp.asarray(rng.integers(0, 255, size=(4, 512, 512, 3)), jnp.float32)
     )
     q_vars = quantize_hrnet(lm_model, lm_vars, calib, s2d=False)
-    serving_lm = HRNetInt8(lm_model.config)
+    fold_lm = int(os.environ.get("BENCH_FOLD", "0"))
+    serving_lm = HRNetInt8(
+        lm_model.config, fold_residual=fold_lm >= 1, fold_fuse_up=fold_lm >= 2
+    )
 
     lm3d = rng.normal(size=(num_joints, 3)).astype(np.float32)
     K = np.array([[2988.6, 0, 960.0], [0, 2988.3, 600.0], [0, 0, 1]], np.float32)

@@ -191,11 +191,17 @@ def _requant(f):
     return jnp.clip(jnp.round(f), -127, 127).astype(jnp.int8)
 
 
-def backbone_int8_apply(cfg: ResNetConfig, q: dict, x_norm) -> dict:
+def backbone_int8_apply(
+    cfg: ResNetConfig, q: dict, x_norm, fold_residual: bool = False
+) -> dict:
     """x_norm: (B, H, W, 3) f32 NORMALIZED images ((x - mean) / std, the
     same contract ResNetBackbone sees inside GeneralizedRCNN). Returns
     {res2..res5: bf16 features} for the FPN. ``cfg`` is static (jit with
-    functools.partial or static_argnums); ``q`` is a plain pytree."""
+    functools.partial or static_argnums); ``q`` is a plain pytree.
+
+    fold_residual: conv3/shortcut epilogues feed the residual add as
+    pre-round f32 (skips one int8 materialization per — see
+    hrnet_int8.py; same closeness-not-bit-exact contract)."""
 
     y = jax.lax.conv_general_dilated(
         x_norm.astype(jnp.bfloat16), q["stem"]["w_bf16"], (2, 2),
@@ -211,19 +217,17 @@ def backbone_int8_apply(cfg: ResNetConfig, q: dict, x_norm) -> dict:
         s1, s3_ = (stride, 1) if cfg.stride_in_1x1 else (1, stride)
         h1 = _requant(jnp.maximum(_conv_i8(x, convs[f"{blk}/conv1"], s1), 0.0))
         h2 = _requant(jnp.maximum(_conv_i8(h1, convs[f"{blk}/conv2"], s3_, groups=cfg.groups), 0.0))
-        h3 = _requant(_conv_i8(h2, convs[f"{blk}/conv3"], 1))
-        if has_sc:
-            sc = _requant(_conv_i8(x, convs[f"{blk}/shortcut"], stride))
-        else:
-            sc = x
         coeffs = q["blocks"][blk]["coeffs"]
-        x = _requant(
-            jnp.maximum(
-                h3.astype(jnp.float32) * coeffs[0]
-                + sc.astype(jnp.float32) * coeffs[1],
-                0.0,
-            )
-        )
+        f3 = _conv_i8(h2, convs[f"{blk}/conv3"], 1)
+        if has_sc:
+            fsc = _conv_i8(x, convs[f"{blk}/shortcut"], stride)
+        else:
+            fsc = x.astype(jnp.float32)
+        if not fold_residual:
+            f3 = _requant(f3).astype(jnp.float32)
+            if has_sc:
+                fsc = _requant(fsc).astype(jnp.float32)
+        x = _requant(jnp.maximum(f3 * coeffs[0] + fsc * coeffs[1], 0.0))
         feats[stage] = x
     out = {}
     for stage in cfg.out_features:

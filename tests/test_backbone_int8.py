@@ -100,3 +100,25 @@ def test_precomputed_feats_integration():
     ref_top = np.asarray(ref["boxes"])[0, 0]
     out_top = np.asarray(out["boxes"])[0, 0]
     np.testing.assert_allclose(out_top, ref_top, atol=3.0)
+
+
+@pytest.mark.parametrize("cfg", [RESNET_TINY, TINY_X], ids=["plain", "grouped"])
+def test_fold_residual_close_to_walk(cfg):
+    """fold_residual (pre-round f32 conv3/shortcut into the residual add)
+    stays within quantization noise of the standard walk and at least as
+    faithful to bf16."""
+    model, variables, calib, rng = setup_backbone(cfg, seed=1)
+    q = quantize_backbone(cfg, variables, calib)
+    x = jnp.asarray(rng.normal(0, 1.0, (2, 64, 64, 3)), jnp.float32)
+    ref = model.apply(variables, x)
+    walk = backbone_int8_apply(cfg, q, x)
+    fold = backbone_int8_apply(cfg, q, x, fold_residual=True)
+    for k in ref:
+        a = np.asarray(ref[k], np.float32)
+        w = np.asarray(walk[k], np.float32)
+        f = np.asarray(fold[k], np.float32)
+        denom = np.abs(a).max() + 1e-6
+        assert np.abs(f - a).max() / denom < 0.15, k
+        assert np.corrcoef(f.reshape(-1), a.reshape(-1))[0, 1] > 0.98, k
+        assert np.abs(f - w).max() / denom < 0.1, k
+        assert np.corrcoef(f.reshape(-1), w.reshape(-1))[0, 1] > 0.995, k
