@@ -227,7 +227,10 @@ def build_full_path(det_batch=8, det_every=16, det_kind=None):
     det_kind = det_kind or os.environ.get("BENCH_DET", "r101_1obj_int8")
     num_joints = 11
     h, w = 1200, 1920
-    det_size = 768
+    # 768 = the reference letterbox geometry (parity default). Lower
+    # values are an EXTRA serving point (≈(768/s)^2 backbone savings),
+    # clearly a different workload — label any published number with it.
+    det_size = int(os.environ.get("BENCH_DET_SIZE", "768"))
     clip = det_batch * det_every
 
     if "1obj" in det_kind:
