@@ -141,6 +141,8 @@ def oks_metrics(all_preds: np.ndarray, examples, sigmas=None) -> dict:
         e = examples.example(i)
         joints = np.asarray(e["joints"], np.float64)
         vis = np.asarray(e["joints_vis"], np.float64)
+        if vis.ndim == 1:  # LandmarkExamples stores per-joint vis as (J,)
+            vis = vis[:, None]
         gt_kps = np.concatenate([joints[:, :2], vis[:, :1]], axis=1)[None]
         bbox = np.asarray(e["bbox"], np.float64)[None]  # xywh
         dets.append({
