@@ -77,11 +77,17 @@ class EmulatorState(struct.PyTreeNode):
 
 
 def lin_log(x: Array, threshold: float = 20.0) -> Array:
-    """Linear below threshold, log above; rounded to 1e-8 so that adding
-    and subtracting a threshold is reversible (emulator_utils.py:12-37)."""
+    """Linear below threshold, log above; snapped to a fixed grid so
+    equal intensities always map to bit-identical lin-log values
+    (emulator_utils.py:12-37 rounds to 1e-8 in float64 — 'float64 [is
+    needed] to get rounding to work'). In float32 a 1e-8 grid is a no-op
+    for y above ~0.17 (y*1e8 exceeds the 2^24 integer range), so we snap
+    to the finest power-of-two grid that stays exact: 2^-21 ~ 4.8e-7
+    (y <= lin_log(255) ~ 5.54, and 5.54*2^21 < 2^24; multiplying by a
+    power of two is exact in f32)."""
     f = (1.0 / threshold) * math.log(threshold)
     y = jnp.where(x <= threshold, x * f, jnp.log(jnp.maximum(x, 1e-6)))
-    rounding = 1e8
+    rounding = float(2 ** 21)
     return jnp.round(y * rounding) / rounding
 
 
@@ -161,16 +167,21 @@ def emulate_frame(
     # frame only advances by emitted events, so the residual re-triggers on
     # the next frame.
     overflow = jnp.sum(pos_counts_raw - pos_counts) + jnp.sum(neg_counts_raw - neg_counts)
-    num_iters = jnp.maximum(jnp.maximum(pos_counts.max(), neg_counts.max()), 1)
+    # num_iters may be ZERO: the reference's per-frame loop simply does
+    # not run then (emulator.py:468 `for i in range(num_iters)`), so a
+    # zero-signal frame emits NO events — including no shot noise. The
+    # clamped divisor only guards the dt division.
+    num_iters = jnp.maximum(pos_counts.max(), neg_counts.max())
+    num_iters_div = jnp.maximum(num_iters, 1)
 
-    ts_step = dt / num_iters
+    ts_step = dt / num_iters_div
     iters = jnp.arange(cfg.max_iters)
     ts = state.t_previous + ts_step * (iters + 1)  # linspace(t_prev+step, t_frame)
     iter_valid = iters < num_iters
 
     # shot noise probabilities, loop-independent (generate_shot_noise)
     if cfg.shot_noise_rate_hz > 0:
-        factor = (cfg.shot_noise_rate_hz / 2) * dt / num_iters
+        factor = (cfg.shot_noise_rate_hz / 2) * dt / num_iters_div
         factor = factor * ((cfg.shot_noise_inten_factor - 1) * inten01 + 1)
         rand01 = jax.random.uniform(k_shot, (cfg.max_iters, *base.shape))
         shot_on = rand01 > (1 - factor * state.pos_pre_prob)[None]

@@ -63,12 +63,28 @@ def read_events_csv(
     timestamp_unit: str = "s",
     swap_xy: bool = False,
     force_pos_polarity: bool = True,
+    delim_whitespace: bool | None = None,
 ) -> np.ndarray:
     """CSV -> (N, 4) [t_seconds, x, y, p]. Mirrors e2v.py:120-141:
-    ms/us unit conversion, optional xy swap, polarity collapsed to +1."""
+    ms/us unit conversion, optional xy swap, polarity collapsed to +1.
+
+    ``delim_whitespace``: the reference's --delim_whitespace flag — the
+    v2e DVSTextOutput contract is SPACE-separated (ae_text_output.py:75).
+    Default None sniffs the first data line, so both file families read."""
     import pandas as pd
 
-    df = pd.read_csv(path, header=None, comment="#")
+    if delim_whitespace is None:
+        with open(path) as f:
+            line = "#"
+            while line.startswith("#"):
+                line = f.readline()
+                if not line:
+                    break
+        delim_whitespace = "," not in line
+    df = pd.read_csv(
+        path, header=None, comment="#",
+        sep=r"\s+" if delim_whitespace else ",",
+    )
     ev = df.values.astype(np.float64)[:, :4]
     scale = {"s": 1.0, "ms": 1e-3, "us": 1e-6}[timestamp_unit]
     ev[:, 0] *= scale
@@ -134,7 +150,10 @@ class AEDat2Writer:
 
 
 def read_aedat2(path: str, width: int = 346, height: int = 260) -> np.ndarray:
-    """Inverse of AEDat2Writer for round-trip tests."""
+    """Inverse of AEDat2Writer, and reader for real jAER DAVIS
+    recordings: keeps only polarity events — bit 31 set marks an APS
+    sample, bit 10 a special/external event (aedat2_output.py:33-38);
+    both interleave with DVS events in real .aedat files."""
     with open(path, "rb") as f:
         raw = f.read()
     offset = 0
@@ -142,7 +161,14 @@ def read_aedat2(path: str, width: int = 346, height: int = 260) -> np.ndarray:
         offset = raw.index(b"\n", offset) + 1
     data = np.frombuffer(raw[offset:], dtype=">i4").astype(np.int64)
     addr = data[0::2]
-    t = data[1::2] / 1e6
+    ts_us = data[1::2]
+    if height <= 512:
+        # >512-row geometries legitimately spill y into bit 31 (the
+        # reference writer shares this quirk), so only small-geometry
+        # reads can disambiguate APS/special words
+        dvs = ((addr >> 31) & 1 == 0) & ((addr >> 10) & 1 == 0)
+        addr, ts_us = addr[dvs], ts_us[dvs]
+    t = ts_us / 1e6
     x = (width - 1) - ((addr >> AEDat2Writer.X_SHIFT) & 0x3FF)
     y = (height - 1) - ((addr >> AEDat2Writer.Y_SHIFT) & 0x1FF)
     p = 2 * ((addr >> AEDat2Writer.POL_SHIFT) & 1) - 1
@@ -165,3 +191,38 @@ def read_events_h5(path: str) -> np.ndarray:
         ev = f["events"][...].astype(np.float64)
     ev[:, 0] /= 1e6
     return ev
+
+
+def accumulate_exposure_frames(
+    events: np.ndarray,
+    width: int,
+    height: int,
+    exposure: float,
+    full_scale_count: int = 3,
+):
+    """Shared duration-exposure accumulation core of e2v.py:54-71 and
+    convert_aedats.py: yields (frame01 (H, W) float64 in [0, 1],
+    end_time_seconds) per frame. One pass over the time-sorted events:
+    frame boundaries come from a searchsorted on the bin edges instead
+    of a full boolean scan per frame (the naive loop is
+    O(num_frames * N))."""
+    if len(events) == 0:
+        return
+    t0 = float(events[0, 0])
+    bins = np.floor((events[:, 0] - t0) / exposure).astype(np.int64)
+    num_frames = int(bins.max()) + 1
+    # events are time-sorted, so bins is non-decreasing
+    edges = np.searchsorted(bins, np.arange(num_frames + 1))
+    inv_scale = 1.0 / float(full_scale_count * 2)
+    for fidx in range(num_frames):
+        sel = events[edges[fidx]:edges[fidx + 1]]
+        acc = np.zeros((height, width), np.float64)
+        if len(sel):
+            np.add.at(
+                acc,
+                (sel[:, 2].astype(np.int64).clip(0, height - 1),
+                 sel[:, 1].astype(np.int64).clip(0, width - 1)),
+                sel[:, 3],
+            )
+        acc = np.clip(acc, -full_scale_count, full_scale_count)
+        yield (acc + full_scale_count) * inv_scale, t0 + (fidx + 1) * exposure

@@ -216,3 +216,90 @@ class TestSloMo:
         mids = interpolate_pair(model, variables, f0, f1, 3)
         assert mids.shape == (3, 1, 32, 32, 1)
         assert np.isfinite(np.asarray(mids)).all()
+
+
+class TestRound3EventFixes:
+    def test_lin_log_snaps_to_exact_f32_grid(self):
+        """The snap grid must actually QUANTIZE in float32 (the
+        reference's 1e-8 grid needs float64 and was a silent no-op
+        here): every output is an exact multiple of 2^-21."""
+        x = jnp.asarray(np.linspace(0.5, 255.0, 997), jnp.float32)
+        y = np.asarray(lin_log(x), np.float64)
+        scaled = y * (2 ** 21)
+        np.testing.assert_array_equal(scaled, np.round(scaled))
+        # distinct brightnesses still map to distinct values
+        assert len(np.unique(y)) > 900
+
+    def test_zero_event_frame_emits_no_shot_noise(self):
+        """Static input with shot noise enabled: the reference's
+        per-frame loop runs zero iterations (emulator.py:468), so no
+        events — signal or noise — are emitted."""
+        import dataclasses as dc
+
+        cfg = dc.replace(CLEAN, shot_noise_rate_hz=5.0)
+        frame = jnp.full((16, 16), 128.0)
+        state = init_state(frame, jax.random.key(0), cfg)
+        total = 0
+        for k in range(5):
+            state, out = emulate_frame(
+                state, frame, jnp.asarray(0.05 * (k + 1)), cfg
+            )
+            total += int(out["num_events"])
+        assert total == 0
+
+    def test_read_aedat2_filters_aps_and_special_words(self, tmp_path):
+        from spacecraft_pose_estimation_tpu.events import io as ev_io
+
+        path = tmp_path / "mixed.aedat"
+        wr = ev_io.AEDat2Writer(str(path), 346, 260)
+        ev = np.array([[0.001, 10, 20, 1], [0.002, 30, 40, -1]], np.float64)
+        wr.append(ev)
+        wr.close()
+        # splice in an APS sample word (bit 31) and a special event
+        # (bit 10) between the two real events
+        with open(path, "rb") as f:
+            raw = f.read()
+        off = 0
+        while raw[off:off + 1] == b"#":
+            off = raw.index(b"\n", off) + 1
+        aps = np.array([np.int32(-2147000000), 1500], ">i4").tobytes()
+        special = np.array([np.int32(1 << 10), 1600], ">i4").tobytes()
+        mixed = raw[:off + 8] + aps + special + raw[off + 8:]
+        mixed_path = tmp_path / "mixed2.aedat"
+        mixed_path.write_bytes(mixed)
+        got = ev_io.read_aedat2(str(mixed_path), 346, 260)
+        assert got.shape == (2, 4)
+        np.testing.assert_allclose(got[:, 1:], ev[:, 1:])
+
+    def test_read_events_csv_whitespace_autodetect(self, tmp_path):
+        from spacecraft_pose_estimation_tpu.events import io as ev_io
+
+        p = tmp_path / "ev.txt"
+        p.write_text("# v2e dvs text\n0.001 5 6 1\n0.002 7 8 0\n")
+        got = ev_io.read_events_csv(str(p), force_pos_polarity=False)
+        assert got.shape == (2, 4)
+        np.testing.assert_allclose(got[0], [0.001, 5, 6, 1])
+        np.testing.assert_allclose(got[1, 3], -1)  # p=0 -> -1
+
+    def test_accumulate_exposure_frames_matches_naive(self):
+        from spacecraft_pose_estimation_tpu.events import io as ev_io
+
+        rng = np.random.default_rng(5)
+        n = 5000
+        t = np.sort(rng.uniform(0, 0.1, n))
+        ev = np.stack([
+            t, rng.integers(0, 32, n), rng.integers(0, 24, n),
+            rng.choice([-1.0, 1.0], n),
+        ], axis=1)
+        frames = list(ev_io.accumulate_exposure_frames(ev, 32, 24, 0.01, 3))
+        # naive per-frame boolean-mask accumulation (the old loop)
+        t0 = ev[0, 0]
+        bins = np.floor((ev[:, 0] - t0) / 0.01).astype(np.int64)
+        assert len(frames) == int(bins.max()) + 1
+        for fidx, (img01, t_end) in enumerate(frames):
+            sel = ev[bins == fidx]
+            acc = np.zeros((24, 32), np.float64)
+            np.add.at(acc, (sel[:, 2].astype(int), sel[:, 1].astype(int)), sel[:, 3])
+            want = (np.clip(acc, -3, 3) + 3) / 6.0
+            np.testing.assert_allclose(img01, want)
+            assert abs(t_end - (t0 + (fidx + 1) * 0.01)) < 1e-12

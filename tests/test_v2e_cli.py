@@ -121,3 +121,44 @@ class TestV2eCli:
                   "--input_frame_rate", "30", "--disable_slomo",
                   "--dvs_exposure", "duration", "0.05", "--no_frames"])
         assert "under-sampled" not in r2.stderr
+
+    def test_input_slowmotion_factor_speeds_up_event_time(self, frames_dir, tmp_path):
+        """Reference v2e.py:343: srcFrameIntervalS = (1/fps)/factor — a
+        slow-motion source means HIGHER real frame rate, so the event
+        timeline shrinks by the factor."""
+        import re
+
+        def video_time(out_dir, extra):
+            r = run(["-i", frames_dir, "-o", out_dir, "--disable_slomo",
+                     "--input_frame_rate", "30", "--no_frames",
+                     "--dvs_exposure", "duration", "0.01"] + extra)
+            m = re.search(r"over ([0-9.]+)s of video", r.stdout)
+            assert m, r.stdout[-500:]
+            return float(m.group(1))
+
+        t_plain = video_time(tmp_path / "a", [])
+        t_slomo = video_time(tmp_path / "b", ["--input_slowmotion_factor", "2"])
+        # stdout prints the duration %.3f-rounded
+        assert abs(t_slomo - t_plain / 2) < 1e-3, (t_plain, t_slomo)
+
+    def test_overflow_warning_on_high_contrast(self, frames_dir, tmp_path):
+        """>max_iters events/pixel/frame must print the clip warning."""
+        r = run(["-i", frames_dir, "-o", tmp_path / "o", "--disable_slomo",
+                 "--pos_thres", "0.05", "--neg_thres", "0.05",
+                 "--no_frames", "--dvs_exposure", "duration", "0.01"])
+        assert "clipped by the static max_iters" in r.stderr
+
+    def test_dvs_vid_full_scale_changes_contrast(self, frames_dir, tmp_path):
+        import cv2
+
+        def first_frame(out, fs):
+            run(["-i", frames_dir, "-o", out, "--disable_slomo",
+                 "--dvs_exposure", "duration", "0.05", "--skip_video_output",
+                 "--dvs_vid_full_scale", fs])
+            f = sorted((out / "event-frames").glob("*.bmp"))[0]
+            return cv2.imread(str(f), cv2.IMREAD_GRAYSCALE).astype(np.int32)
+
+        a = first_frame(tmp_path / "fs1", 1)
+        b = first_frame(tmp_path / "fs8", 8)
+        # same events, different normalization: fs=1 saturates harder
+        assert np.abs(a - b).max() > 10

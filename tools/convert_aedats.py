@@ -51,11 +51,9 @@ def main():
     args = ap.parse_args()
 
     import cv2
-    import numpy as np
 
     from spacecraft_pose_estimation_tpu.data.camera import CameraModel
     from spacecraft_pose_estimation_tpu.events import io as ev_io
-    from spacecraft_pose_estimation_tpu.events.renderer import normalize_frame
 
     cam = CameraModel.from_calibration_json(args.calibration_file)
 
@@ -71,26 +69,18 @@ def main():
         ev_io.write_events_csv(events, os.path.join(out, "events.csv"))
         if len(events) == 0:
             continue
-        t0 = events[0, 0]
-        bins = np.floor((events[:, 0] - t0) / args.exposure).astype(np.int64)
-        for fidx in range(int(bins.max()) + 1):
-            sel = events[bins == fidx]
-            acc = np.zeros((args.height, args.width), np.float64)
-            if len(sel):
-                np.add.at(
-                    acc,
-                    (sel[:, 2].astype(np.int64).clip(0, args.height - 1),
-                     sel[:, 1].astype(np.int64).clip(0, args.width - 1)),
-                    sel[:, 3],
-                )
-            img = (normalize_frame(np.clip(acc, -3, 3), 3) * 255).astype(np.uint8)
+        n_frames = 0
+        for img01, t_end in ev_io.accumulate_exposure_frames(
+            events, args.width, args.height, args.exposure
+        ):
+            img = (img01 * 255).astype("uint8")
             img = cv2.undistort(img, cam.K, cam.dist)
-            t_ms = (t0 + (fidx + 1) * args.exposure) * 1e3
             cv2.imwrite(
-                os.path.join(out, f"{t_ms:.0f}.bmp"),
+                os.path.join(out, f"{t_end * 1e3:.0f}.bmp"),
                 cv2.cvtColor(img, cv2.COLOR_GRAY2BGR),
             )
-        print(f"{scene}: {len(events)} events -> {int(bins.max()) + 1} frames")
+            n_frames += 1
+        print(f"{scene}: {len(events)} events -> {n_frames} frames")
 
 
 if __name__ == "__main__":

@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--height", type=int, required=True)
     ap.add_argument("--timestamp-unit", choices=["s", "ms", "us"], default="s")
     ap.add_argument("--swap-xy", action="store_true")
+    ap.add_argument("--delim_whitespace", action="store_true", default=None,
+                    help="input is space-separated (v2e --dvs_text "
+                         "contract); default sniffs the first data line")
     ap.add_argument("--keep-polarity", action="store_true",
                     help="keep -1/+1 instead of the reference's force-positive")
     ap.add_argument("--exposure", type=float, default=0.01, help="seconds per frame")
@@ -32,38 +35,26 @@ def main():
     args = ap.parse_args()
 
     import cv2
-    import numpy as np
 
     from spacecraft_pose_estimation_tpu.events import io as ev_io
-    from spacecraft_pose_estimation_tpu.events.renderer import normalize_frame
 
     events = ev_io.read_events_csv(
         args.input,
         timestamp_unit=args.timestamp_unit,
         swap_xy=args.swap_xy,
         force_pos_polarity=not args.keep_polarity,
+        delim_whitespace=args.delim_whitespace,
     )
     if len(events) == 0:
         print("no events")
         return
-    t0 = events[0, 0]
-    bins = np.floor((events[:, 0] - t0) / args.exposure).astype(np.int64)
-    num_frames = int(bins.max()) + 1
     os.makedirs(args.output_folder, exist_ok=True)
     frame_times = []
-    for fidx in range(num_frames):
-        sel = events[bins == fidx]
-        acc = np.zeros((args.height, args.width), np.float64)
-        if len(sel):
-            np.add.at(
-                acc,
-                (sel[:, 2].astype(np.int64).clip(0, args.height - 1),
-                 sel[:, 1].astype(np.int64).clip(0, args.width - 1)),
-                sel[:, 3],
-            )
-        acc = np.clip(acc, -args.full_scale_count, args.full_scale_count)
-        img = (normalize_frame(acc, args.full_scale_count) * 255).astype(np.uint8)
-        t_ms = (t0 + (fidx + 1) * args.exposure) * 1e3
+    for img01, t_end in ev_io.accumulate_exposure_frames(
+        events, args.width, args.height, args.exposure, args.full_scale_count
+    ):
+        img = (img01 * 255).astype("uint8")
+        t_ms = t_end * 1e3
         cv2.imwrite(
             os.path.join(args.output_folder, f"{t_ms:.0f}.bmp"),
             cv2.cvtColor(img, cv2.COLOR_GRAY2BGR),
@@ -71,7 +62,7 @@ def main():
         frame_times.append(t_ms)
     with open(os.path.join(args.output_folder, "frame_times.txt"), "w") as f:
         f.writelines(f"{t:.3f}\n" for t in frame_times)
-    print(f"wrote {num_frames} frames to {args.output_folder}")
+    print(f"wrote {len(frame_times)} frames to {args.output_folder}")
 
 
 if __name__ == "__main__":

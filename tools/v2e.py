@@ -265,7 +265,10 @@ def main():
 
     t0 = time.time()
     out_w, out_h = set_output_dimension(args)
-    in_rate = args.input_frame_rate / max(args.input_slowmotion_factor, 1e-9)
+    # reference v2e.py:343: srcFrameIntervalS = (1/srcFps)/slowmotion —
+    # a slow-motion SOURCE (factor>1) represents a HIGHER real-world
+    # frame rate, so event time runs FASTER than playback time
+    in_rate = args.input_frame_rate * max(args.input_slowmotion_factor, 1e-9)
 
     if args.synthetic_input:
         mod = importlib.import_module(args.synthetic_input)
@@ -282,8 +285,16 @@ def main():
         frames = load_frames(args.input, out_h, out_w)
 
     if args.start_time is not None or args.stop_time is not None:
-        i0 = int((args.start_time or 0.0) * in_rate)
-        i1 = int(args.stop_time * in_rate) if args.stop_time is not None else len(frames)
+        # windowing is in VIDEO-PLAYBACK time: the reference indexes
+        # frames with the raw source fps (v2e.py:329-332), independent
+        # of the slowmotion factor
+        play_rate = args.input_frame_rate
+        i0 = int((args.start_time or 0.0) * play_rate)
+        i1 = (
+            int(args.stop_time * play_rate)
+            if args.stop_time is not None
+            else len(frames)
+        )
         frames = frames[max(i0, 0):max(i1, i0 + 2)]
     if args.crop is not None:
         left, right, top, bottom = args.crop
@@ -384,6 +395,18 @@ def main():
     dt = 1.0 / (in_rate * max(upsample, 1))
     timestamps = np.arange(n) * dt
     check_lowpass(cfg.cutoff_hz, 1.0 / dt)
+    # the emulator scan runs in float32 (no x64 on this path): warn when
+    # the f32 grid near the end of the stream becomes a meaningful
+    # fraction of dt (long/high-resolution streams should be chunked)
+    f32_ulp = float(np.spacing(np.float32(timestamps[-1]))) if n > 1 else 0.0
+    if f32_ulp > 0.01 * dt:
+        print(
+            f"WARNING: float32 timestamp resolution at t={timestamps[-1]:.1f}s "
+            f"is {f32_ulp:.2e}s = {f32_ulp / dt:.1%} of the {dt:.2e}s frame "
+            "interval; event timestamps will quantize. Process the stream in "
+            "shorter --start_time/--stop_time windows.",
+            file=sys.stderr,
+        )
 
     seed = args.dvs_emulator_seed if args.dvs_emulator_seed is not None else args.seed
     state = init_state(jnp.asarray(frames[0]), jax.random.key(seed), cfg)
@@ -391,6 +414,15 @@ def main():
         state, jnp.asarray(frames[1:]), jnp.asarray(timestamps[1:], jnp.float32), cfg
     )
     total_events = int(np.asarray(out["num_events"]).sum())
+    overflow = int(np.asarray(out["overflow"]).sum())
+    if overflow > 0:
+        print(
+            f"WARNING: {overflow} events were clipped by the static "
+            f"max_iters={cfg.max_iters} cap (deferred to later frames; "
+            "timestamps skew by up to one frame interval). Increase "
+            "EmulatorConfig.max_iters or the SloMo upsampling.",
+            file=sys.stderr,
+        )
     sim_time = time.time() - t0
     video_time = timestamps[-1]
     print(
@@ -406,13 +438,19 @@ def main():
     if args.dvs_numpy:
         np.save(os.path.join(out_folder, args.dvs_numpy), np.asarray(events))
     if args.dvs_aedat2:
-        wr = ev_io.AEDat2Writer(
-            os.path.join(out_folder, args.dvs_aedat2), 346, 260
-        ) if (w, h) == (346, 260) else None
-        if wr is None:
-            sizes = [(346, 260), (640, 480), (1280, 720), (240, 180)]
-            match = next(((sw, sh) for sw, sh in sizes if sw >= w and sh >= h), (1280, 720))
-            wr = ev_io.AEDat2Writer(os.path.join(out_folder, args.dvs_aedat2), *match)
+        # smallest supported jAER geometry that fits; NO silent fallback
+        # (an undersized geometry corrupts the packed y addresses — the
+        # reference raises for unsupported sizes too)
+        fits = sorted(
+            (sz for sz in ev_io.AEDAT2_SIZES if sz[0] >= w and sz[1] >= h),
+            key=lambda sz: sz[0] * sz[1],
+        )
+        if not fits:
+            raise SystemExit(
+                f"--dvs_aedat2: no supported AEDAT2 camera geometry fits "
+                f"{w}x{h} (supported: {sorted(ev_io.AEDAT2_SIZES)})"
+            )
+        wr = ev_io.AEDat2Writer(os.path.join(out_folder, args.dvs_aedat2), *fits[0])
         wr.append(events)
         wr.close()
 
@@ -430,20 +468,23 @@ def main():
             imgs = R.render_duration(
                 out["pos"], out["neg"], out["ts"], out["iter_valid"],
                 jnp.asarray(0.0), exposure, num_out,
+                full_scale_count=args.dvs_vid_full_scale,
             )
             times = (np.arange(num_out) + 1) * exposure
         elif mode == "count":
             count = int(args.dvs_exposure[1])
             num_out = max(total_events // max(count, 1), 1)
             imgs, times = R.render_count(
-                out["pos"], out["neg"], out["ts"], out["iter_valid"], count, num_out
+                out["pos"], out["neg"], out["ts"], out["iter_valid"], count, num_out,
+                full_scale_count=args.dvs_vid_full_scale,
             )
             times = np.asarray(times)
         else:
             count, dim = int(args.dvs_exposure[1]), int(args.dvs_exposure[2])
             num_out = 64
             imgs, times = R.render_area_count(
-                out["pos"], out["neg"], out["ts"], out["iter_valid"], count, dim, num_out
+                out["pos"], out["neg"], out["ts"], out["iter_valid"], count, dim, num_out,
+                full_scale_count=args.dvs_vid_full_scale,
             )
             times = np.asarray(times)
         u8_stack = []
