@@ -32,11 +32,17 @@ Array = jax.Array
 # ---------------------------------------------------------------------------
 
 
-def gaussian_blur(img: Array, sigma, kernel_size: int) -> Array:
-    """Separable gaussian blur with traced sigma, static support."""
+def gaussian_blur(img: Array, sigma, kernel_size: int, trunc_ksize=None) -> Array:
+    """Separable gaussian blur with traced sigma, static support.
+
+    ``trunc_ksize`` (traced): zero the taps beyond (trunc_ksize-1)/2 —
+    cv2.GaussianBlur's ksize truncation with a DYNAMIC ksize under a
+    static max support (kernel_size)."""
     r = kernel_size // 2
     x = jnp.arange(-r, r + 1, dtype=jnp.float32)
     w = jnp.exp(-0.5 * (x / jnp.maximum(sigma, 1e-3)) ** 2)
+    if trunc_ksize is not None:
+        w = w * (jnp.abs(x) <= (trunc_ksize - 1) / 2)
     w = w / jnp.sum(w)
     # blur H axis then W axis via correlation
     def conv1d(im, axis):
@@ -50,8 +56,16 @@ def gaussian_blur(img: Array, sigma, kernel_size: int) -> Array:
     return conv1d(conv1d(img, 0), 1)
 
 
-def box_blur(img: Array, kernel_size: int) -> Array:
-    k = jnp.ones(kernel_size, jnp.float32) / kernel_size
+def box_blur(img: Array, kernel_size: int, trunc_ksize=None) -> Array:
+    """``trunc_ksize`` (traced): dynamic box width under a static max
+    support, matching cv2.blur with a runtime-random ksize."""
+    if trunc_ksize is None:
+        k = jnp.ones(kernel_size, jnp.float32) / kernel_size
+    else:
+        r0 = kernel_size // 2
+        x = jnp.arange(-r0, r0 + 1, dtype=jnp.float32)
+        inside = (jnp.abs(x) <= (trunc_ksize - 1) / 2).astype(jnp.float32)
+        k = inside / jnp.sum(inside)
     r = kernel_size // 2
 
     def conv1d(im, axis):
@@ -143,7 +157,15 @@ def event_lines(
         ys = ys + jax.random.uniform(
             ks[5], (max_points,), minval=-100 + x_shift / 2, maxval=100 - x_shift / 2
         )
-        active = tt <= density / 10000.0  # density controls how much of the line draws
+        # reference: X = linspace(x1, x2, density) — the line ALWAYS
+        # spans the full height; density is the DOT COUNT along it.
+        # Static-shape equivalent: activate min(density, max_points)
+        # evenly spaced samples of the full-span grid.
+        idx = jnp.arange(max_points)
+        marks = jnp.floor(idx * (density / max_points))
+        active = jnp.concatenate(
+            [jnp.ones((1,), bool), marks[1:] != marks[:-1]]
+        ) | (density >= max_points)
         xi = jnp.clip(jnp.floor(xs), 0, w - 1).astype(jnp.int32)
         yi = jnp.clip(jnp.floor(ys), 0, h - 1).astype(jnp.int32)
         white = jnp.where(active[:, None], 255.0, 0.0)
@@ -312,12 +334,15 @@ def random_streaks(key: Array, img: Array) -> Array:
 
 
 def random_bloom(key: Array, img: Array) -> Array:
-    """Additive glow: heavy gaussian+box blur of the frame itself."""
+    """Additive glow (transforms.py:424-450): cv2.GaussianBlur with
+    FIXED sigma=10 and a varying truncation ksize 19..109, then a
+    varying 15..105 box blur (the box dominates the glow at large
+    offsets). Static max supports with dynamic tap masks."""
     k1 = jax.random.fold_in(key, 0)
-    offset = jax.random.randint(k1, (), 10, 100).astype(jnp.float32)
-    sigma = (9.0 + offset) / 6.0  # ksize ~ 6 sigma
-    bloom = gaussian_blur(img, sigma, 61)
-    bloom = box_blur(bloom, 31)
+    offset = jax.random.randint(k1, (), 10, 100)
+    offset = offset + (offset % 2)  # reference odd->even adjustment
+    bloom = gaussian_blur(img, 10.0, 109, trunc_ksize=9 + offset)
+    bloom = box_blur(bloom, 105, trunc_ksize=5 + offset)
     return blend(img, bloom, 1.0)
 
 

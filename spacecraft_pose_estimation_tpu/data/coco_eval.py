@@ -88,12 +88,16 @@ def box_iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def _match_image(
     det_boxes, det_scores, gt_boxes, iou_thr, area_range, max_dets,
-    iou_fn=None, area_fn=None,
+    iou_fn=None, area_fn=None, iou=None,
 ):
     """Returns (det_matched (D,), det_ignored (D,), num_gt_considered).
 
     iou_fn/area_fn generalize the geometry (rotated boxes pass 5-column
-    arrays with polygon IoU); defaults are axis-aligned xyxy."""
+    arrays with polygon IoU); defaults are axis-aligned xyxy.
+    ``iou``: precomputed (D_ordered, G) matrix for the score-ordered,
+    max_dets-capped detections — it depends only on the geometry, so
+    callers hoist it out of their (area x threshold) loops (pycocotools
+    computes computeIoU once per image for the same reason)."""
     if iou_fn is None:
         iou_fn = box_iou_xyxy
     if area_fn is None:
@@ -102,7 +106,8 @@ def _match_image(
     det_boxes = det_boxes[order]
     gt_area = area_fn(gt_boxes)
     gt_ignore = (gt_area < area_range[0]) | (gt_area >= area_range[1])
-    iou = iou_fn(det_boxes, gt_boxes)
+    if iou is None:
+        iou = iou_fn(det_boxes, gt_boxes)
     gt_taken = np.zeros(len(gt_boxes), bool)
     matched = np.zeros(len(det_boxes), bool)
     ignored = np.zeros(len(det_boxes), bool)
@@ -215,22 +220,31 @@ def evaluate_detections(
         raise RuntimeError("native cocoeval not built (make -C native)")
     results = {}
     ap_per_iou = {}
+    # per-image prep + IoU, hoisted out of the 4x10 (area x thr) loops
+    prepped = []
+    for det, gt in zip(detections, ground_truths):
+        det_b = np.asarray(det["boxes"], np.float64)
+        det_s = np.asarray(det["scores"], np.float64)
+        gt_b = np.asarray(gt["boxes"], np.float64).reshape(-1, 4)
+        iou_pre = None
+        if lib is None:
+            order = np.argsort(-det_s, kind="stable")[:max_dets]
+            iou_pre = box_iou_xyxy(det_b[order], gt_b)
+        prepped.append((det_b, det_s, gt_b, iou_pre))
     for area_name, area_range in AREA_RANGES.items():
         aps, ars = [], []
         for t in IOU_THRS:
             all_matched, all_ignored, all_scores = [], [], []
             total_gt = 0
-            for det, gt in zip(detections, ground_truths):
-                det_b = np.asarray(det["boxes"], np.float64)
-                det_s = np.asarray(det["scores"], np.float64)
-                gt_b = np.asarray(gt["boxes"], np.float64).reshape(-1, 4)
+            for det_b, det_s, gt_b, iou_pre in prepped:
                 if lib is not None:
                     m, ig, sc, ng = _match_image_native(
                         lib, det_b, det_s, gt_b, t, area_range, max_dets
                     )
                 else:
                     m, ig, sc, ng = _match_image(
-                        det_b, det_s, gt_b, t, area_range, max_dets
+                        det_b, det_s, gt_b, t, area_range, max_dets,
+                        iou=iou_pre,
                     )
                 all_matched.append(m)
                 all_ignored.append(ig)
@@ -281,18 +295,23 @@ def evaluate_rotated_detections(
 
     results = {}
     ap_per_iou = {}
+    prepped = []
+    for det, gt in zip(detections, ground_truths):
+        det_b = np.asarray(det["boxes"], np.float64).reshape(-1, 5)
+        det_s = np.asarray(det["scores"], np.float64)
+        gt_b = np.asarray(gt["boxes"], np.float64).reshape(-1, 5)
+        order = np.argsort(-det_s, kind="stable")[:max_dets]
+        prepped.append((det_b, det_s, gt_b, iou_fn(det_b[order], gt_b)))
     for area_name, area_range in AREA_RANGES.items():
         aps, ars = [], []
         for t in IOU_THRS:
             all_matched, all_ignored, all_scores = [], [], []
             total_gt = 0
-            for det, gt in zip(detections, ground_truths):
+            for det_b, det_s, gt_b, iou_pre in prepped:
                 m, ig, sc, ng = _match_image(
-                    np.asarray(det["boxes"], np.float64).reshape(-1, 5),
-                    np.asarray(det["scores"], np.float64),
-                    np.asarray(gt["boxes"], np.float64).reshape(-1, 5),
+                    det_b, det_s, gt_b,
                     t, area_range, max_dets,
-                    iou_fn=iou_fn, area_fn=area_fn,
+                    iou_fn=iou_fn, area_fn=area_fn, iou=iou_pre,
                 )
                 all_matched.append(m)
                 all_ignored.append(ig)
@@ -452,65 +471,72 @@ def evaluate_keypoints(
     assert len(detections) == len(ground_truths)
     results = {}
     ap_per_iou = {}
+
+    def area_fn(rows):
+        return rows[:, 0]
+
+    # per-image packing + OKS matrix, hoisted out of the 3x10 loops
+    prepped = []
+    for det, gt in zip(detections, ground_truths):
+        det_kps = np.asarray(det["keypoints"], np.float64)
+        det_kps = det_kps.reshape((-1,) + tuple(det_kps.shape[1:])) if det_kps.size else np.zeros((0, 1, 3))
+        det_s = np.asarray(det["scores"], np.float64)
+        gt_kps = np.asarray(gt["keypoints"], np.float64)
+        gt_kps = gt_kps.reshape((-1,) + tuple(gt_kps.shape[1:])) if gt_kps.size else np.zeros((0, det_kps.shape[1] if len(det_kps) else 1, 3))
+        gt_boxes = np.asarray(gt["boxes"], np.float64).reshape(-1, 4)
+        jj = det_kps.shape[1] if len(det_kps) else gt_kps.shape[1]
+        if sigmas is None:
+            sg = COCO_PERSON_SIGMAS if jj == 17 else np.full(jj, 0.05)
+        else:
+            sg = np.asarray(sigmas, np.float64)
+        gt_areas = np.asarray(
+            gt.get("areas", gt_boxes[:, 2] * gt_boxes[:, 3]), np.float64
+        )
+
+        # pack [area, ...] rows; empty-kp gts get area -1 ->
+        # always outside the range -> ignored (the pycocotools
+        # num_keypoints==0 rule). Detection "area" for the
+        # unmatched-det ignore rule is the predicted-keypoint
+        # bbox area (pycocotools uses the det's own area field).
+        n_vis = (gt_kps[:, :, 2] > 0).sum(axis=1) if len(gt_kps) else np.zeros(0)
+        gt_eff_area = np.where(n_vis > 0, gt_areas, -1.0)
+        if len(det_kps):
+            dw = det_kps[:, :, 0].max(1) - det_kps[:, :, 0].min(1)
+            dh = det_kps[:, :, 1].max(1) - det_kps[:, :, 1].min(1)
+            dpack = np.concatenate(
+                [(dw * dh)[:, None], det_kps.reshape(len(det_kps), -1)],
+                axis=1,
+            )
+        else:
+            dpack = np.zeros((0, 1 + jj * 3))
+        gpack = np.concatenate(
+            [gt_eff_area[:, None], gt_areas[:, None], gt_boxes,
+             gt_kps.reshape(len(gt_kps), -1)], axis=1
+        ) if len(gt_kps) else np.zeros((0, 2 + 4 + jj * 3))
+
+        order = np.argsort(-det_s, kind="stable")[:max_dets]
+        dp = dpack[order]
+        if len(dp) == 0 or len(gpack) == 0:
+            iou_pre = np.zeros((len(dp), len(gpack)))
+        else:
+            iou_pre = compute_oks(
+                dp[:, 1:].reshape(len(dp), jj, 3),
+                gpack[:, 6:].reshape(len(gpack), jj, 3),
+                gpack[:, 1],  # TRUE area for OKS even on ignored gts
+                gpack[:, 2:6],
+                sg,
+            )
+        prepped.append((dpack, det_s, gpack, iou_pre))
+
     for area_name, area_range in KPT_AREA_RANGES.items():
         aps, ars = [], []
         for t in IOU_THRS:
             all_matched, all_ignored, all_scores = [], [], []
             total_gt = 0
-            for det, gt in zip(detections, ground_truths):
-                det_kps = np.asarray(det["keypoints"], np.float64)
-                det_kps = det_kps.reshape((-1,) + tuple(det_kps.shape[1:])) if det_kps.size else np.zeros((0, 1, 3))
-                det_s = np.asarray(det["scores"], np.float64)
-                gt_kps = np.asarray(gt["keypoints"], np.float64)
-                gt_kps = gt_kps.reshape((-1,) + tuple(gt_kps.shape[1:])) if gt_kps.size else np.zeros((0, det_kps.shape[1] if len(det_kps) else 1, 3))
-                gt_boxes = np.asarray(gt["boxes"], np.float64).reshape(-1, 4)
-                jj = det_kps.shape[1] if len(det_kps) else gt_kps.shape[1]
-                if sigmas is None:
-                    sg = COCO_PERSON_SIGMAS if jj == 17 else np.full(jj, 0.05)
-                else:
-                    sg = np.asarray(sigmas, np.float64)
-                gt_areas = np.asarray(
-                    gt.get("areas", gt_boxes[:, 2] * gt_boxes[:, 3]), np.float64
-                )
-
-                # pack [area, ...] rows; empty-kp gts get area -1 ->
-                # always outside the range -> ignored (the pycocotools
-                # num_keypoints==0 rule). Detection "area" for the
-                # unmatched-det ignore rule is the predicted-keypoint
-                # bbox area (pycocotools uses the det's own area field).
-                n_vis = (gt_kps[:, :, 2] > 0).sum(axis=1) if len(gt_kps) else np.zeros(0)
-                gt_eff_area = np.where(n_vis > 0, gt_areas, -1.0)
-                if len(det_kps):
-                    dw = det_kps[:, :, 0].max(1) - det_kps[:, :, 0].min(1)
-                    dh = det_kps[:, :, 1].max(1) - det_kps[:, :, 1].min(1)
-                    dpack = np.concatenate(
-                        [(dw * dh)[:, None], det_kps.reshape(len(det_kps), -1)],
-                        axis=1,
-                    )
-                else:
-                    dpack = np.zeros((0, 1 + jj * 3))
-                gpack = np.concatenate(
-                    [gt_eff_area[:, None], gt_areas[:, None], gt_boxes,
-                     gt_kps.reshape(len(gt_kps), -1)], axis=1
-                ) if len(gt_kps) else np.zeros((0, 2 + 4 + jj * 3))
-
-                def iou_fn(dp, gp, jj=jj, sg=sg):
-                    if len(dp) == 0 or len(gp) == 0:
-                        return np.zeros((len(dp), len(gp)))
-                    return compute_oks(
-                        dp[:, 1:].reshape(len(dp), jj, 3),
-                        gp[:, 6:].reshape(len(gp), jj, 3),
-                        gp[:, 1],  # TRUE area for OKS even on ignored gts
-                        gp[:, 2:6],
-                        sg,
-                    )
-
-                def area_fn(rows):
-                    return rows[:, 0]
-
+            for dpack, det_s, gpack, iou_pre in prepped:
                 m, ig, sc, ng = _match_image(
                     dpack, det_s, gpack, t, area_range, max_dets,
-                    iou_fn=iou_fn, area_fn=area_fn,
+                    area_fn=area_fn, iou=iou_pre,
                 )
                 all_matched.append(m)
                 all_ignored.append(ig)
@@ -555,41 +581,40 @@ def evaluate_instance_segmentation(
     assert len(detections) == len(ground_truths)
     results = {}
     ap_per_iou = {}
+    # per-image packing + mask-IoU matrix (the expensive part), hoisted
+    # out of the 4x10 loops
+    prepped = []
+    for det, gt in zip(detections, ground_truths):
+        dm = np.asarray(det["masks"], bool)
+        gm = np.asarray(gt["masks"], bool)
+        dm = dm.reshape((-1,) + dm.shape[-2:]) if dm.size else dm.reshape(0, 1, 1)
+        gm = gm.reshape((-1,) + gm.shape[-2:]) if gm.size else gm.reshape(0, 1, 1)
+        det_s = np.asarray(det["scores"], np.float64)
+        # pack [area, flat mask bits] — the same row-packing trick
+        # as keypoints so _match_image's area logic applies
+        npx = int(np.prod(dm.shape[1:])) if dm.ndim == 3 else 1
+        dareas = dm.reshape(len(dm), npx).sum(-1).astype(np.float64)
+        npx_g = int(np.prod(gm.shape[1:])) if gm.ndim == 3 else 1
+        gareas = gm.reshape(len(gm), npx_g).sum(-1).astype(np.float64)
+        dpack = np.concatenate(
+            [dareas[:, None], dm.reshape(len(dm), -1)], axis=1
+        ) if len(dm) else np.zeros((0, 2))
+        gpack = np.concatenate(
+            [gareas[:, None], gm.reshape(len(gm), -1)], axis=1
+        ) if len(gm) else np.zeros((0, 2))
+        order = np.argsort(-det_s, kind="stable")[:max_dets]
+        iou_pre = mask_iou(dm[order], gm)
+        prepped.append((dpack, det_s, gpack, iou_pre))
+
     for area_name, area_range in AREA_RANGES.items():
         aps, ars = [], []
         for t in IOU_THRS:
             all_matched, all_ignored, all_scores = [], [], []
             total_gt = 0
-            for det, gt in zip(detections, ground_truths):
-                dm = np.asarray(det["masks"], bool)
-                gm = np.asarray(gt["masks"], bool)
-                dm = dm.reshape((-1,) + dm.shape[-2:]) if dm.size else dm.reshape(0, 1, 1)
-                gm = gm.reshape((-1,) + gm.shape[-2:]) if gm.size else gm.reshape(0, 1, 1)
-                det_s = np.asarray(det["scores"], np.float64)
-                # pack [area, flat mask bits] — the same row-packing trick
-                # as keypoints so _match_image's area logic applies
-                npx = int(np.prod(dm.shape[1:])) if dm.ndim == 3 else 1
-                dareas = dm.reshape(len(dm), npx).sum(-1).astype(np.float64)
-                npx_g = int(np.prod(gm.shape[1:])) if gm.ndim == 3 else 1
-                gareas = gm.reshape(len(gm), npx_g).sum(-1).astype(np.float64)
-                dpack = np.concatenate(
-                    [dareas[:, None], dm.reshape(len(dm), -1)], axis=1
-                ) if len(dm) else np.zeros((0, 2))
-                gpack = np.concatenate(
-                    [gareas[:, None], gm.reshape(len(gm), -1)], axis=1
-                ) if len(gm) else np.zeros((0, 2))
-
-                def iou_fn(dp, gp, shape=gm.shape[-2:] if gm.size else (1, 1)):
-                    if len(dp) == 0 or len(gp) == 0:
-                        return np.zeros((len(dp), len(gp)))
-                    return mask_iou(
-                        dp[:, 1:].astype(bool).reshape((len(dp),) + shape),
-                        gp[:, 1:].astype(bool).reshape((len(gp),) + shape),
-                    )
-
+            for dpack, det_s, gpack, iou_pre in prepped:
                 m, ig, sc, ng = _match_image(
                     dpack, det_s, gpack, t, area_range, max_dets,
-                    iou_fn=iou_fn, area_fn=lambda rows: rows[:, 0],
+                    area_fn=lambda rows: rows[:, 0], iou=iou_pre,
                 )
                 all_matched.append(m)
                 all_ignored.append(ig)

@@ -163,11 +163,16 @@ def poses_to_coco(
     dist: np.ndarray | None = None,
     visibility_width: float | None = None,
     shuffle_seed: int | None = None,
+    force_visible: bool = False,
 ) -> dict:
     """Ground-truth poses -> COCO keypoints dict (both converter flavours).
 
     ``visibility_width`` reproduces the SPEED+ converter's 1900-px
     visibility test (speedplus_to_coco_dicts.py:137) when set.
+    ``force_visible``: the SPEED+ converter's actual behaviour — its
+    get_visible_keypoints appends vis=2 in BOTH branches ('For speedplus
+    we just treat all points as visible', speedplus_to_coco_dicts.py:15-27)
+    — so every keypoint trains with weight 1 even outside the frame.
     """
     if image_ids is None:
         image_ids = [int(os.path.basename(f).split(".")[0]) for f in file_names]
@@ -176,9 +181,12 @@ def poses_to_coco(
     for i, (fname, image_id) in enumerate(zip(file_names, image_ids)):
         pts2d = project_landmarks(landmarks, rotations[i], translations[i], K, dist)
         images.append(image_record(fname, width, height, image_id))
+        kps = visible_keypoints(pts2d, vis_w, height)
+        if force_visible:
+            kps[:, 2] = 2.0
         anns.append(
             keypoint_annotation(
-                visible_keypoints(pts2d, vis_w, height),
+                kps,
                 landmarks_bbox(pts2d),
                 image_id,
                 ann_id=image_id,

@@ -42,12 +42,26 @@ def letterbox(img: np.ndarray, target_hw: tuple[int, int]) -> tuple[np.ndarray, 
     return out, scale
 
 
-def rotate_with_boxes(img: np.ndarray, boxes_xyxy: np.ndarray, angle: float):
-    """Rotate about center (no expand); boxes -> rotated corners' AABB."""
+def rotate_with_boxes(
+    img: np.ndarray, boxes_xyxy: np.ndarray, angle: float, expand: bool = True
+):
+    """Rotate about center; boxes -> rotated corners' AABB.
+
+    ``expand`` (the d2 RotationTransform default used by the fork's
+    T.RandomRotation([0,45])): the canvas grows to fit the whole rotated
+    image, so no pixels or GT boxes are lost — the downstream letterbox
+    rescales the bigger canvas to the fixed input size."""
     import cv2
 
     h, w = img.shape[:2]
     M = cv2.getRotationMatrix2D((w / 2, h / 2), angle, 1.0)
+    if expand:
+        abs_cos, abs_sin = abs(M[0, 0]), abs(M[0, 1])
+        nw = int(np.rint(w * abs_cos + h * abs_sin))
+        nh = int(np.rint(w * abs_sin + h * abs_cos))
+        M[0, 2] += nw / 2 - w / 2
+        M[1, 2] += nh / 2 - h / 2
+        w, h = nw, nh
     out = cv2.warpAffine(img, M, (w, h), flags=cv2.INTER_LINEAR)
     if len(boxes_xyxy):
         corners = np.stack(
@@ -146,13 +160,23 @@ def detection_batches(
         ex = examples.load(i)
         img, boxes = ex["image"].astype(np.float32), ex["boxes"].copy()
         if train and augment:
-            # fork build_augmentation: rotation [0,45] then translation
+            # fork build_augmentation order (detection_utils.py:632-651):
+            # resize -> flip -> rotation [0,45] (expand) -> translation
+            # +-100 px. Flip + expand-rotation commute with the resize, so
+            # they run on the original; the +-100 translation acts on the
+            # RESIZED image in the reference, so it runs post-letterbox.
+            if nprng.random() < 0.5:  # d2 RandomFlip horizontal default
+                w0 = img.shape[1]
+                img = np.ascontiguousarray(img[:, ::-1])
+                if len(boxes):
+                    boxes[:, [0, 2]] = w0 - boxes[:, [2, 0]]
             angle = nprng.uniform(*rotation_range)
-            img, boxes = rotate_with_boxes(img, boxes, angle)
-            tx, ty = nprng.uniform(-translation_range, translation_range, 2)
-            img, boxes = translate_with_boxes(img, boxes, tx, ty)
+            img, boxes = rotate_with_boxes(img, boxes, angle, expand=True)
         img, scale = letterbox(img, image_hw)
         boxes = boxes * scale
+        if train and augment:
+            tx, ty = nprng.uniform(-translation_range, translation_range, 2)
+            img, boxes = translate_with_boxes(img, boxes, tx, ty)
         g = len(boxes)
         gt_boxes = np.zeros((max_gt, 4), np.float32)
         gt_classes = np.zeros((max_gt,), np.int32)

@@ -64,6 +64,10 @@ def make_detection_train_step(
 
         new_normalizer = state.loss_normalizer
         if ema_loss_normalizer and "num_fg" in losses:
+            # losses["num_fg"] is already max(count, 1) (the model clamps
+            # — models/retinanet.py:199), so zero-foreground batches keep
+            # scale > 0 and still train on background cls, matching the
+            # reference's _ema_update("loss_normalizer", max(n, 1), 100)
             new_normalizer = 0.9 * state.loss_normalizer + 0.1 * losses["num_fg"]
             # loss_total was normalized by num_fg; rescale to the EMA
             scale = losses["num_fg"] / jnp.maximum(new_normalizer, 1e-6)

@@ -143,7 +143,12 @@ def oks_metrics(all_preds: np.ndarray, examples, sigmas=None) -> dict:
         vis = np.asarray(e["joints_vis"], np.float64)
         if vis.ndim == 1:  # LandmarkExamples stores per-joint vis as (J,)
             vis = vis[:, None]
-        gt_kps = np.concatenate([joints[:, :2], vis[:, :1]], axis=1)[None]
+        # joints_vis is the TRAINING weight (COCO vis - 1): v=2 -> 1,
+        # v=1 -> 0, v=0 -> -1. pycocotools computeOks counts every
+        # LABELED keypoint (vg > 0), i.e. COCO v >= 1 — so map back
+        # (+1) instead of passing the weight, or out-of-frame-but-
+        # labeled (v=1) joints would be wrongly excluded from OKS.
+        gt_kps = np.concatenate([joints[:, :2], vis[:, :1] + 1.0], axis=1)[None]
         bbox = np.asarray(e["bbox"], np.float64)[None]  # xywh
         dets.append({
             "keypoints": np.asarray(all_preds[i], np.float64)[None],

@@ -58,9 +58,12 @@ def make_train_step(use_target_weight: bool = True):
         )
         tw = batch["target_weight"] if use_target_weight else None
         if isinstance(outputs, (tuple, list)):
-            # CMS heads: sum the per-scale losses (function.py:255 semantics
-            # are per-scale targets; single-scale target applies to scale 0).
-            loss = joints_mse_loss(outputs[0], batch["target"], tw)
+            # multi-output heads (CMS training mode): the reference sums
+            # the criterion over ALL outputs against the same target
+            # (function.py:48-52) — deep supervision on every scale head
+            loss = sum(
+                joints_mse_loss(o, batch["target"], tw) for o in outputs
+            )
         else:
             loss = joints_mse_loss(outputs, batch["target"], tw)
         return loss, mutated["batch_stats"]

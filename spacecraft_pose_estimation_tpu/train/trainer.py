@@ -127,16 +127,25 @@ class EvalHook(Hook):
         self.period = period
         self.fn = fn
 
-    def after_step(self, trainer):
-        if self.period > 0 and (trainer.iteration + 1) % self.period == 0:
-            results = self.fn(trainer)
-            if results:
-                trainer.storage.put_scalars(**results)
-
-    def after_train(self, trainer):
+    def _do_eval(self, trainer):
         results = self.fn(trainer)
         if results:
             trainer.storage.put_scalars(**results)
+
+    def after_step(self, trainer):
+        next_iter = trainer.iteration + 1
+        if self.period > 0 and next_iter % self.period == 0:
+            # d2 hooks.py:550-560: the final iteration's eval belongs to
+            # after_train — do not run it twice
+            if next_iter != trainer.max_iter:
+                self._do_eval(trainer)
+
+    def after_train(self, trainer):
+        # d2 semantics: only eval when training actually completed (the
+        # loop's finally also fires on exceptions — don't eval a
+        # half-trained model)
+        if trainer.iteration >= trainer.max_iter:
+            self._do_eval(trainer)
 
 
 class MemoryStats(Hook):

@@ -104,6 +104,8 @@ def main():
             names, np.stack(Rs), np.stack(ts), pts, cam.K,
             width=1920, height=1200, image_ids=ids, dist=cam.dist,
             visibility_width=1900,  # reference quirk (speedplus_to_coco:137)
+            force_visible=True,  # ...whose vis test is a no-op: both
+            # branches append vis=2 (speedplus_to_coco_dicts.py:15-27)
         )
         out = os.path.join(
             args.output_dir, f"{args.dataset_type}_{args.split}.json"
