@@ -14,6 +14,7 @@ from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
+import optax
 from flax import linen as nn
 
 from ..ops import boxes as box_ops
@@ -104,7 +105,7 @@ def mask_loss(mask_logits: Array, gt_masks: Array, gt_classes: Array, fg: Array)
     r = mask_logits.shape[0]
     cls = jnp.clip(gt_classes, 0, mask_logits.shape[-1] - 1)
     logits = jnp.take_along_axis(mask_logits, cls[:, None, None, None], axis=-1)[..., 0]
-    ce = jnp.maximum(logits, 0) - logits * gt_masks + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    ce = optax.sigmoid_binary_cross_entropy(logits, gt_masks)
     per_roi = jnp.mean(ce, axis=(1, 2))
     return jnp.sum(per_roi * fg) / jnp.maximum(jnp.sum(fg), 1.0)
 

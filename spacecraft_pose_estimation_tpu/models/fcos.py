@@ -1,8 +1,9 @@
 """FCOS: anchor-free one-stage detector (detectron2 modeling/meta_arch/
-fcos.py parity). Per-location class logits, LTRB distance regression
-(distance = exp(pred) * stride) and centerness; training assigns each
-location to the smallest GT containing it within the level's scale
-range; inference mirrors RetinaNet's topk -> NMS flow.
+fcos.py parity). Per-location class logits, LINEAR LTRB distance
+regression (Box2BoxTransformLinear: distance = relu(pred) * stride) and
+centerness; training assigns each location to the smallest GT containing
+it within the level's scale range; inference mirrors RetinaNet's
+per-level topk -> NMS flow.
 """
 
 from __future__ import annotations
@@ -13,6 +14,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import optax
 from flax import linen as nn
 
 from ..ops import boxes as box_ops
@@ -75,11 +77,19 @@ class FCOS(nn.Module):
         b, h, w = images.shape[0], images.shape[1], images.shape[2]
         x = images.astype(jnp.float32) - jnp.asarray(self.pixel_mean)
         feats = ResNetBackbone(cfg.backbone, dtype=self.dtype, name="backbone")(x)
-        pyr = FPN(cfg.fpn_channels, dtype=self.dtype, name="fpn")(feats)
+        pyr = FPN(
+            cfg.fpn_channels, in_levels=("res3", "res4", "res5"),
+            last_level_max_pool=False, dtype=self.dtype, name="fpn",
+        )(feats)
+        # d2 fcos.py builds its pyramid with LastLevelP6P7(in_feature=
+        # 'p5'): p6 is a LEARNED stride-2 conv on p5 (not the
+        # Faster-RCNN maxpool), p7 = conv(relu(p6))
+        p6 = nn.Conv(cfg.fpn_channels, (3, 3), strides=(2, 2), padding=1,
+                     dtype=self.dtype, name="p6")(pyr["p5"].astype(self.dtype))
         p7 = nn.Conv(cfg.fpn_channels, (3, 3), strides=(2, 2), padding=1,
-                     dtype=self.dtype, name="p7")(nn.relu(pyr["p6"]))
+                     dtype=self.dtype, name="p7")(nn.relu(p6))
         pyramid = {"p3": pyr["p3"], "p4": pyr["p4"], "p5": pyr["p5"],
-                   "p6": pyr["p6"], "p7": p7}
+                   "p6": p6, "p7": p7}
         levels = sorted(pyramid.keys())
 
         ch = cfg.fpn_channels
@@ -105,10 +115,13 @@ class FCOS(nn.Module):
             stride = RETINA_STRIDES[lvl]
             scale = self.param(f"scale_{lvl}", nn.initializers.ones, ())
             logits = cls_out(c).astype(jnp.float32).reshape(b, -1, cfg.num_classes)
-            # exponent clamped (<= e^8 * stride) so untrained towers can't
-            # overflow the distance decode
+            # d2 fcos.py uses Box2BoxTransformLinear(normalize_by_size):
+            # distance = relu(pred) * stride — LINEAR, not the original
+            # FCOS exp parameterization (box_regression.py:285-295). The
+            # per-level learnable scale (init 1) is kept from the paper;
+            # it is identity at init.
             ltrb = (
-                jnp.exp(jnp.minimum(box_out(g).astype(jnp.float32) * scale, 8.0)) * stride
+                nn.relu(box_out(g).astype(jnp.float32) * scale) * stride
             ).reshape(b, -1, 4)
             ctr = ctr_out(g).astype(jnp.float32).reshape(b, -1)
             fh, fw = f.shape[1], f.shape[2]
@@ -194,7 +207,7 @@ class FCOS(nn.Module):
                 reg = box_ops.giou_loss(bp, gt_box)
                 ctr_w = ctr_t * fg
                 reg_sum = jnp.sum(reg * ctr_w)
-                ctr_loss = jnp.maximum(ct, 0) - ct * ctr_t + jnp.log1p(jnp.exp(-jnp.abs(ct)))
+                ctr_loss = optax.sigmoid_binary_cross_entropy(ct, ctr_t)
                 return (
                     cls_loss,
                     reg_sum,
@@ -216,25 +229,44 @@ class FCOS(nn.Module):
             losses["loss_total"] = sum(losses.values())
             return losses
 
-        def infer_one(lg, bp, ct):
-            scores = jnp.sqrt(
-                jax.nn.sigmoid(lg) * jax.nn.sigmoid(ct)[:, None]
-            ).reshape(-1)
-            k = min(cfg.topk_candidates, scores.shape[0])
-            top, idx = jax.lax.top_k(scores, k)
+        # per-level candidate budgets (d2 dense_detector semantics, same
+        # rationale as models/retinanet.py): static level slices off the
+        # concatenated location axis
+        level_sizes = [c.shape[0] for c in centers_all]
+        offs = [0]
+        for n_l in level_sizes:
+            offs.append(offs[-1] + n_l)
+        cand_s, cand_b, cand_c = [], [], []
+        for li in range(len(level_sizes)):
+            sl = slice(offs[li], offs[li + 1])
+            sc = jnp.sqrt(
+                jax.nn.sigmoid(logits[:, sl])
+                * jax.nn.sigmoid(ctr[:, sl])[:, :, None]
+            ).reshape(b, -1)
+            k_l = min(cfg.topk_candidates, sc.shape[1])
+            top, idx = jax.lax.top_k(sc, k_l)
             loc = idx // cfg.num_classes
-            cls = idx % cfg.num_classes
-            bx = box_ops.clip_boxes(bp[loc], h, w)
-            valid = top > cfg.score_thresh
-            keep = nms_ops.batched_nms_mask(bx, top, cls, cfg.nms_thresh, valid)
-            masked = jnp.where(keep, top, -jnp.inf)
+            cand_c.append(idx % cfg.num_classes)
+            cand_s.append(top)
+            cand_b.append(
+                jnp.take_along_axis(boxes_pred[:, sl], loc[..., None], axis=1)
+            )
+        s_all = jnp.concatenate(cand_s, axis=1)
+        b_all = jnp.concatenate(cand_b, axis=1)
+        c_all = jnp.concatenate(cand_c, axis=1)
+
+        def infer_one(bx, sc, cl):
+            bx = box_ops.clip_boxes(bx, h, w)
+            valid = sc > cfg.score_thresh
+            keep = nms_ops.batched_nms_mask(bx, sc, cl, cfg.nms_thresh, valid)
+            masked = jnp.where(keep, sc, -jnp.inf)
             kk = min(cfg.detections_per_image, masked.shape[0])
             fs, fi = jax.lax.top_k(masked, kk)
             return {
                 "boxes": bx[fi],
                 "scores": jnp.where(jnp.isfinite(fs), fs, 0.0),
-                "classes": cls[fi],
+                "classes": cl[fi],
                 "valid": jnp.isfinite(fs),
             }
 
-        return jax.vmap(infer_one)(logits, boxes_pred, ctr)
+        return jax.vmap(infer_one)(b_all, s_all, c_all)

@@ -44,6 +44,11 @@ Dtype = Any
 # Caffe2 zoo pixel stats (detectron2 configs: BGR mean, std 1).
 PIXEL_MEAN = (103.530, 116.280, 123.675)
 PIXEL_STD = (1.0, 1.0, 1.0)
+# The X101-32x8d trunk is a TORCH-trained model (STRIDE_IN_1X1: False);
+# its config overrides PIXEL_STD per channel
+# (configs/COCO-Detection/faster_rcnn_X_101_32x8d_FPN_3x.yaml:5) —
+# normalizing with std 1 would feed activations ~57x too large.
+X101_PIXEL_STD = (57.375, 57.120, 58.395)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,6 +76,7 @@ FASTER_RCNN_X101_SPACECRAFT = RCNNConfig(
         num_classes=1, cls_agnostic_bbox_reg=True, detections_per_image=2,
         pooler_impl="pallas",
     ),
+    pixel_std=X101_PIXEL_STD,
 )
 
 # Serving variant: same weights/topology, tighter proposal budgets. The
@@ -88,7 +94,8 @@ FASTER_RCNN_X101_SERVING = dataclasses.replace(
 # DENSE convs quantize well on TPU (int8 ~2x bf16), where X101's grouped
 # convs do not — this is the fast detect-every-frame preset.
 FASTER_RCNN_R101_SPACECRAFT = dataclasses.replace(
-    FASTER_RCNN_X101_SPACECRAFT, backbone=RESNET101_FPN
+    FASTER_RCNN_X101_SPACECRAFT, backbone=RESNET101_FPN,
+    pixel_std=PIXEL_STD,  # R101 is a true caffe2 model (std 1)
 )
 FASTER_RCNN_R101_SERVING = dataclasses.replace(
     FASTER_RCNN_R101_SPACECRAFT,

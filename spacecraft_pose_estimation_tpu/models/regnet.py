@@ -41,12 +41,17 @@ REGNET_TINY = RegNetConfig(depths=(1, 1, 1, 1), widths=(8, 16, 32, 64), group_wi
 
 class SqueezeExcite(nn.Module):
     ratio: float
+    base_width: int | None = None  # d2/pycls: w_se = round(w_in * se_r)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        mid = max(int(c * self.ratio), 1)
+        base = self.base_width if self.base_width is not None else c
+        # d2 regnet.py SE width is computed from the BLOCK INPUT width
+        # (w_in), not the SE input's own width — published RegNetY
+        # checkpoints have these fc shapes
+        mid = max(int(round(base * self.ratio)), 1)
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
         s = nn.relu(nn.Conv(mid, (1, 1), dtype=self.dtype, name="fc1")(s))
         s = nn.sigmoid(nn.Conv(c, (1, 1), dtype=self.dtype, name="fc2")(s))
@@ -63,10 +68,13 @@ class XBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         groups = max(self.width // self.group_width, 1)
+        w_in = x.shape[-1]
         out = ConvFrozenBN(self.width, 1, 1, dtype=self.dtype, name="a")(x)
         out = ConvFrozenBN(self.width, 3, self.stride, groups=groups, dtype=self.dtype, name="b")(out)
         if self.se_ratio > 0:
-            out = SqueezeExcite(self.se_ratio, dtype=self.dtype, name="se")(out)
+            out = SqueezeExcite(
+                self.se_ratio, base_width=w_in, dtype=self.dtype, name="se"
+            )(out)
         out = ConvFrozenBN(self.width, 1, 1, act=False, dtype=self.dtype, name="c")(out)
         if self.stride != 1 or x.shape[-1] != self.width:
             shortcut = ConvFrozenBN(

@@ -15,6 +15,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import optax
 from flax import linen as nn
 
 from ..ops import boxes as box_ops
@@ -104,7 +105,7 @@ class RetinaNetHead(nn.Module):
 
 def sigmoid_focal_loss(logits: Array, targets: Array, alpha: float, gamma: float) -> Array:
     p = jax.nn.sigmoid(logits)
-    ce = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    ce = optax.sigmoid_binary_cross_entropy(logits, targets)
     p_t = p * targets + (1 - p) * (1 - targets)
     loss = ce * (1 - p_t) ** gamma
     if alpha >= 0:
@@ -133,7 +134,12 @@ class RetinaNet(nn.Module):
             self.pixel_std
         )
         feats = ResNetBackbone(cfg.backbone, dtype=self.dtype, name="backbone")(x)
-        pyr = FPN(cfg.fpn_channels, dtype=self.dtype, name="fpn")(feats)
+        # d2 retinanet backbone: in_features res3-res5 (no stride-4 p2
+        # level), learned p6/p7 instead of the maxpool top block
+        pyr = FPN(
+            cfg.fpn_channels, in_levels=("res3", "res4", "res5"),
+            last_level_max_pool=False, dtype=self.dtype, name="fpn",
+        )(feats)
         # LastLevelP6P7 semantics (d2 build_retinanet_resnet_fpn_backbone):
         # p6 and p7 are LEARNED stride-2 convs rooted at res5 (not the
         # Faster-RCNN maxpool p6): p6 = conv(res5), p7 = conv(relu(p6)).
@@ -207,25 +213,46 @@ class RetinaNet(nn.Module):
             losses["loss_total"] = losses["loss_cls"] + losses["loss_box_reg"]
             return losses
 
-        def infer_one(logits, deltas):
-            scores = jax.nn.sigmoid(logits)  # (N, C)
-            flat = scores.reshape(-1)
-            k = min(cfg.topk_candidates, flat.shape[0])
-            top_scores, top_idx = jax.lax.top_k(flat, k)
-            a_idx = top_idx // cfg.num_classes
-            c_idx = top_idx % cfg.num_classes
-            bx = box_ops.apply_deltas(deltas[a_idx], anchor_cat[a_idx], cfg.bbox_reg_weights)
+        # d2 dense_detector._decode_multi_level_predictions: candidate
+        # selection is PER LEVEL — each level keeps its own
+        # topk_candidates budget (then all levels' survivors compete in
+        # one NMS), so a busy fine level cannot evict coarse-level
+        # detections before NMS.
+        cand_s, cand_b, cand_c = [], [], []
+        for l in levels:
+            lg = head[l][0].reshape(b, -1, cfg.num_classes)
+            dl = head[l][1].reshape(b, -1, 4)
+            anc_l = anchors[l]
+            flat = jax.nn.sigmoid(lg).reshape(b, -1)
+            k_l = min(cfg.topk_candidates, flat.shape[1])
+            top, idx = jax.lax.top_k(flat, k_l)
+            a_idx = idx // cfg.num_classes
+            c_idx = idx % cfg.num_classes
+
+            def decode(d, ai):
+                return box_ops.apply_deltas(
+                    d[ai], anc_l[ai], cfg.bbox_reg_weights
+                )
+
+            cand_b.append(jax.vmap(decode)(dl, a_idx))
+            cand_s.append(top)
+            cand_c.append(c_idx)
+        s_all = jnp.concatenate(cand_s, axis=1)
+        b_all = jnp.concatenate(cand_b, axis=1)
+        c_all = jnp.concatenate(cand_c, axis=1)
+
+        def infer_one(bx, sc, cl):
             bx = box_ops.clip_boxes(bx, h, w)
-            valid = top_scores > cfg.score_thresh
-            keep = nms_ops.batched_nms_mask(bx, top_scores, c_idx, cfg.nms_thresh, valid)
-            masked = jnp.where(keep, top_scores, -jnp.inf)
+            valid = sc > cfg.score_thresh
+            keep = nms_ops.batched_nms_mask(bx, sc, cl, cfg.nms_thresh, valid)
+            masked = jnp.where(keep, sc, -jnp.inf)
             kk = min(cfg.detections_per_image, masked.shape[0])
             fs, fi = jax.lax.top_k(masked, kk)
             return {
                 "boxes": bx[fi],
                 "scores": jnp.where(jnp.isfinite(fs), fs, 0.0),
-                "classes": c_idx[fi],
+                "classes": cl[fi],
                 "valid": jnp.isfinite(fs),
             }
 
-        return jax.vmap(infer_one)(logits_cat, deltas_cat)
+        return jax.vmap(infer_one)(b_all, s_all, c_all)

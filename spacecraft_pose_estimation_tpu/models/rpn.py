@@ -14,6 +14,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import optax
 from flax import linen as nn
 
 from ..ops import boxes as box_ops
@@ -109,8 +110,9 @@ def rpn_losses(
 
 
 def optax_sigmoid_ce(logits: Array, targets: Array) -> Array:
-    # binary_cross_entropy_with_logits, numerically stable form
-    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    # the package-wide stable BCE-with-logits (one source of truth;
+    # retinanet/cascade/fcos call optax directly too)
+    return optax.sigmoid_binary_cross_entropy(logits, targets)
 
 
 def find_top_proposals(

@@ -34,11 +34,14 @@ DETECTOR_PRESETS: dict[str, DetectorPreset] = {
         arch="faster_rcnn",
         config=dataclasses.replace(
             FASTER_RCNN_X101_SPACECRAFT,
-            roi=ROIHeadsConfig(num_classes=1, detections_per_image=100),
+            roi=ROIHeadsConfig(
+                num_classes=1, detections_per_image=100,
+                batch_size_per_image=128,  # object_detection_utils.py:41
+            ),
         ),
         input_size=800,
         flip=True,
-        notes="X101-FPN, default sizes/flips",
+        notes="X101-FPN, default sizes/flips, ROI batch 128",
     ),
     # Faster R-CNN R101-FPN 3x
     "config_2": DetectorPreset(
@@ -57,12 +60,15 @@ DETECTOR_PRESETS: dict[str, DetectorPreset] = {
         config=dataclasses.replace(
             FASTER_RCNN_X101_SPACECRAFT,
             roi=ROIHeadsConfig(
-                num_classes=1, cls_agnostic_bbox_reg=True, detections_per_image=2
+                # reference config_3 only sets CLS_AGNOSTIC_BBOX_REG; the
+                # detections_per_image=2 cut belongs to config_4
+                num_classes=1, cls_agnostic_bbox_reg=True,
+                detections_per_image=100,
             ),
         ),
-        input_size=800,
+        input_size=1200,  # MIN/MAX_SIZE_TRAIN/TEST = 1200 (utils.py:85-93)
         flip=False,
-        notes="X101-FPN class-agnostic",
+        notes="X101-FPN class-agnostic, 1200px",
     ),
     # the pipeline's flagship: sizes pinned to frame height, no flips,
     # class-agnostic, <=2 detections
