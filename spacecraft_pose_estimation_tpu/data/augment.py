@@ -346,11 +346,18 @@ def random_bloom(key: Array, img: Array) -> Array:
     return blend(img, bloom, 1.0)
 
 
-def random_noise_01(key: Array, img01: Array) -> Array:
-    """Tensor-space gaussian noise (transforms.py RandomNoise, [0,1])."""
+def random_noise_01(
+    key: Array, img01: Array,
+    std_range: tuple[float, float] = (0.03, 0.05),
+    mean_range: tuple[float, float] = (0.05, 0.15),
+) -> Array:
+    """Tensor-space gaussian noise (transforms.py RandomNoise, [0,1]).
+    The DA drivers pass the reference's per-domain ranges
+    (train_da_ms.py:150,160: lightbox mean 0.03-0.25/std 0.01-0.1,
+    sunlamp mean 0.01-0.1/std 0.03-0.05)."""
     k1, k2, k3 = jax.random.split(key, 3)
-    std = jax.random.uniform(k1, (), minval=0.03, maxval=0.05)
-    mean = jax.random.uniform(k2, (), minval=0.05, maxval=0.15)
+    std = jax.random.uniform(k1, (), minval=std_range[0], maxval=std_range[1])
+    mean = jax.random.uniform(k2, (), minval=mean_range[0], maxval=mean_range[1])
     noise = jnp.broadcast_to(
         jax.random.normal(k3, (*img01.shape[:2], 1)), img01.shape
     )

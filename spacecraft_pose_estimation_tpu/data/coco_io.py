@@ -199,6 +199,18 @@ def poses_to_coco(
     return build_coco_dict(images, anns, landmarks.shape[0])
 
 
+def frame_image_ids(file_names: Sequence[str]) -> list[int]:
+    """imgNNN.* -> NNN (the reference exporter contract,
+    export_object_detection_bounding_boxes.py:347); any other naming
+    scheme falls back to the enumeration index so the fused and staged
+    pipeline modes always emit IDENTICAL ids for the same frames."""
+    ids = []
+    for i, f in enumerate(file_names):
+        stem = os.path.basename(f).split(".")[0].replace("img", "")
+        ids.append(int(stem) if stem.isdigit() else i)
+    return ids
+
+
 def detections_to_coco(
     file_names: Sequence[str],
     boxes_xyxy: np.ndarray,  # (B, 4) best box per image (x0,y0,x1,y1)
@@ -210,9 +222,7 @@ def detections_to_coco(
     """Predicted boxes -> real_test.json contract: one annotation per
     image, keypoints all dummy 2.0 (export...bounding_boxes.py:347-366)."""
     if image_ids is None:
-        image_ids = [
-            int(os.path.basename(f).replace("img", "").split(".")[0]) for f in file_names
-        ]
+        image_ids = frame_image_ids(file_names)
     images, anns = [], []
     for fname, box, image_id in zip(file_names, boxes_xyxy, image_ids):
         x, y = float(box[0]), float(box[1])

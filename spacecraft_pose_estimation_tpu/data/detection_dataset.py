@@ -138,6 +138,7 @@ def detection_batches(
     rotation_range: tuple[float, float] = (0.0, 45.0),
     translation_range: float = 100.0,
     augment: bool = True,
+    flip: bool = False,
     process_index: int = 0,
     process_count: int = 1,
     num_workers: int | None = None,
@@ -165,7 +166,11 @@ def detection_batches(
             # +-100 px. Flip + expand-rotation commute with the resize, so
             # they run on the original; the +-100 translation acts on the
             # RESIZED image in the reference, so it runs post-letterbox.
-            if nprng.random() < 0.5:  # d2 RandomFlip horizontal default
+            # ``flip`` defaults OFF: the flagship training preset
+            # config_4 sets INPUT.RANDOM_FLIP='none'
+            # (object_detection_utils.py:128); config_1-style presets
+            # opt in (zoo.DetectorPreset.flip).
+            if flip and nprng.random() < 0.5:
                 w0 = img.shape[1]
                 img = np.ascontiguousarray(img[:, ::-1])
                 if len(boxes):

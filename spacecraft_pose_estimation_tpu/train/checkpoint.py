@@ -39,14 +39,34 @@ class CheckpointManager:
         with open(os.path.join(self.directory, f"meta_{step}.json"), "w") as f:
             json.dump(metadata or {}, f)
 
-    def save_best(self, step: int, perf: float) -> bool:
-        """Track best perf (higher is better); returns True if improved."""
+    def save_best(self, step: int, perf: float, state: Any = None) -> bool:
+        """Track best perf (higher is better); returns True if improved.
+
+        ``state``: when given, the improved state is ALSO persisted to a
+        dedicated ``best/`` manager (max_to_keep=1) — the rolling
+        max_to_keep window on the main manager would otherwise
+        garbage-collect a best step more than max_to_keep saves old
+        (the reference copies model_best.pth permanently,
+        lib/utils/utils.py save_checkpoint)."""
         best = self.best_perf()
         if best is None or perf > best:
             with open(self._best_path, "w") as f:
                 json.dump({"step": step, "perf": perf}, f)
+            if state is not None:
+                if not hasattr(self, "_best_mgr"):
+                    self._best_mgr = CheckpointManager(
+                        os.path.join(self.directory, "best"), max_to_keep=1
+                    )
+                self._best_mgr.save(step, state, {"perf": perf})
             return True
         return False
+
+    def restore_best(self, state_template: Any):
+        """Restore the permanently-kept best state (None if absent)."""
+        best_dir = os.path.join(self.directory, "best")
+        if not os.path.isdir(best_dir):
+            return None
+        return CheckpointManager(best_dir, max_to_keep=1).restore(state_template)
 
     def best_perf(self) -> float | None:
         if os.path.exists(self._best_path):

@@ -118,7 +118,9 @@ class BestCheckpointer(Hook):
         latest = trainer.storage.latest().get(self.metric)
         if latest is None:
             return
-        if self.manager.save_best(trainer.iteration, latest[0]):
+        # state=... persists the improved step under best/ (immune to the
+        # main manager's max_to_keep garbage collection)
+        if self.manager.save_best(trainer.iteration, latest[0], state=trainer.state):
             self.manager.save(trainer.iteration, trainer.state, {"best": latest[0]})
 
 

@@ -143,6 +143,9 @@ def main():
             f for f in os.listdir(scene_dir)
             if f.lower().endswith((".png", ".jpg", ".bmp"))
         )
+        if not files:
+            logger.warning("scene %s: no frames, skipping", scene)
+            continue
         logger.info("scene %s: %d frames", scene, len(files))
         all_preds, all_boxes, names, all_R, all_t = [], [], [], [], []
         bsz = args.batch_size
@@ -150,12 +153,15 @@ def main():
             chunk = files[start : start + bsz]
             frames, lbs, scales = [], [], []
             for f in chunk:
-                im = cv2.cvtColor(
-                    cv2.imread(os.path.join(scene_dir, f), cv2.IMREAD_COLOR),
-                    cv2.COLOR_BGR2RGB,
+                # the detector trains on BGR (detection_dataset.load uses
+                # raw cv2.imread; caffe2 BGR pixel means) — letterbox the
+                # BGR frame for it, and flip to RGB only for the landmark
+                # crop path (LandmarkExamples color_rgb=True contract)
+                im_bgr = cv2.imread(
+                    os.path.join(scene_dir, f), cv2.IMREAD_COLOR
                 ).astype(np.float32)
-                lb, s = letterbox(im, (size, size))
-                frames.append(im)
+                lb, s = letterbox(im_bgr, (size, size))
+                frames.append(im_bgr[..., ::-1])
                 lbs.append(lb)
                 scales.append(s)
             pad = bsz - len(chunk)
@@ -187,7 +193,8 @@ def main():
         coco = coco_io.detections_to_coco(
             names, boxes, landmarks.shape[0],
             int(frames[0].shape[1]), int(frames[0].shape[0]),
-            image_ids=list(range(len(names))),
+            # shared id derivation (coco_io.frame_image_ids) keeps the
+            # fused and --staged artifacts byte-consistent
         )
         coco_io.save_coco(coco, os.path.join(out_dir, "real_test.json"))
         coco_io.save_opencv_poses(

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--lr", type=float, default=0.00025)
     ap.add_argument("--eval-period", type=int, default=1000)
     ap.add_argument("--checkpoint-period", type=int, default=1000)
+    ap.add_argument("--flip", action="store_true",
+                    help="horizontal RandomFlip p=0.5 (config_1-style; the "
+                         "flagship config_4 sets INPUT.RANDOM_FLIP='none')")
     ap.add_argument("--photometric-augs", choices=["none", "event", "speedplus"],
                     default="none",
                     help="device-side visual aug stack (fork augmentations)")
@@ -118,7 +121,7 @@ def main():
 
     examples = DetectionExamples(args.train_json, args.image_dir)
     data = detection_batches(
-        examples, args.batch_size, (size, size), train=True,
+        examples, args.batch_size, (size, size), train=True, flip=args.flip,
         process_index=jax.process_index(), process_count=jax.process_count(),
     )
 

@@ -146,7 +146,7 @@ def main():
             )
             mean_conf = float(preds[:, :, 2].mean())
             storage.put_scalar("val_mean_conf", mean_conf)
-            if mgr.save_best(int(state.step), mean_conf):
+            if mgr.save_best(int(state.step), mean_conf, state=state):
                 logger.info("new best at epoch %d", epoch)
         logger.info("epoch %d done (step %d)", epoch, int(state.step))
 

@@ -40,10 +40,12 @@ def main():
     import numpy as np
 
     from spacecraft_pose_estimation_tpu import config as C
+    from spacecraft_pose_estimation_tpu.data import augment as aug
     from spacecraft_pose_estimation_tpu.data.landmark_dataset import (
         LandmarkExamples,
         batch_iterator,
         device_transform,
+        sample_augmentation,
     )
     from spacecraft_pose_estimation_tpu.models import (
         MultiScaleDiscriminator,
@@ -90,11 +92,37 @@ def main():
         cfg.train.optimizer, multistep_schedule(cfg.train.lr, milestones, cfg.train.lr_factor),
         weight_decay=cfg.train.wd,
     )
-    disc_tx = build_optimizer("adam", cfg.train.lr)
+    # the reference drives optimizer2 with the SAME MultiStepLR schedule
+    # as the generator (train_da_ms.py:257-273)
+    disc_tx = build_optimizer(
+        "adam", multistep_schedule(cfg.train.lr, milestones, cfg.train.lr_factor)
+    )
     state = DAState.create(model, mvars, disc, dvars, gen_tx, disc_tx)
 
     step = jax.jit(make_da_train_step(beta=cfg.train.beta, d_loss_mode=cfg.train.d_loss_mode))
     mgr = CheckpointManager(os.path.join(args.output, "checkpoints"))
+    # full DA payload (generator + discriminator + both optimizer states)
+    # for AUTO_RESUME (train_da_ms.py:240-251); the generator-only
+    # TrainState export in `checkpoints/` stays the eval contract
+    mgr_da = CheckpointManager(os.path.join(args.output, "da_state"), max_to_keep=2)
+
+    def da_payload(st):
+        return {
+            "step": st.step,
+            "gen_params": st.gen_params, "gen_stats": st.gen_stats,
+            "disc_params": st.disc_params, "disc_stats": st.disc_stats,
+            "gen_opt": st.gen_opt, "disc_opt": st.disc_opt,
+        }
+
+    begin_epoch = cfg.train.begin_epoch
+    resumed = mgr_da.restore(da_payload(state))
+    if resumed is not None:
+        payload, meta, _step = resumed
+        state = state.replace(**payload)
+        begin_epoch = int(meta.get("epoch", -1)) + 1
+        logger.info("auto-resumed at epoch %d (step %d)", begin_epoch, int(state.step))
+
+    val_examples = LandmarkExamples(args.val_json, args.target_image_dir) if args.val_json else None
     storage = MetricStorage()
     writer = JSONWriter(os.path.join(args.output, "metrics.json"))
 
@@ -114,22 +142,50 @@ def main():
             rot_factor=cfg.dataset.rot_factor,
         )
 
-    def multi_scale_targets(raw, key):
-        """The 4 per-scale CMS targets (JointsDataset multi_scale_target)."""
-        b = raw["image"].shape[0]
-        centers, scales = jax.vmap(bbox_to_center_scale)(jnp.asarray(raw["bbox"]))
-        crops = batched_crop_and_resize(
-            jnp.asarray(raw["image"]), centers, scales, jnp.zeros(b), image_size
+    # per-domain photometric source augs (train_da_ms.py:146-166):
+    # ColorJitter(b=c=s=1) -> RandomNoise[0,1] -> erase-to-black
+    # (pre-normalize black == the reference's normalized -mean/std value;
+    # hue jitter and the sunlamp second white-erase are approximated)
+    if "sunlamp" in args.preset:
+        noise_std, noise_mean, erase_p = (0.03, 0.05), (0.01, 0.1), 0.3
+    else:  # lightbox + default
+        noise_std, noise_mean, erase_p = (0.01, 0.1), (0.03, 0.25), 0.4
+
+    def photo_aug(k, im):
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        im = aug.color_jitter(k1, im, 1.0, 1.0, 1.0)
+        im01 = aug.random_noise_01(k2, im / 255.0, noise_std, noise_mean)
+        im = im01 * 255.0
+        return jnp.where(
+            jax.random.uniform(k3) < erase_p, aug.random_erasing(k4, im), im
         )
+
+    def multi_scale_targets(raw, key):
+        """The 4 per-scale CMS targets (JointsDataset multi_scale_target)
+        with the reference's train-mode geometry (random scale/rot,
+        JointsDataset.py:158-170) and photometric source stack."""
+        b = raw["image"].shape[0]
+        kg, kp = jax.random.split(key)
+        centers, scales = jax.vmap(bbox_to_center_scale)(jnp.asarray(raw["bbox"]))
+        s_mult, rots = sample_augmentation(
+            kg, b, cfg.dataset.scale_factor, cfg.dataset.rot_factor
+        )
+        scales = scales * s_mult[:, None]
+        crops = batched_crop_and_resize(
+            jnp.asarray(raw["image"]), centers, scales, rots, image_size
+        )
+        crops = jax.vmap(photo_aug)(jax.random.split(kp, b), crops)
         joints = jax.vmap(
-            lambda jts, c, s: apply_affine(jts, crop_affine_matrix(c, s, 0.0, image_size))
-        )(jnp.asarray(raw["joints"]), centers, scales)
+            lambda jts, c, s, r: apply_affine(jts, crop_affine_matrix(c, s, r, image_size))
+        )(jnp.asarray(raw["joints"]), centers, scales, rots)
         batch = {"source_image": normalize_crops(crops)}
+        # per-scale sigmas SIGMA/SIGMA2/SIGMA3/SIGMA4
+        # (JointsDataset.generate_target, :279-285)
         sigmas = [cfg.model.sigma, cfg.model.sigma2, cfg.model.sigma3, cfg.model.sigma4]
         for idx, div in enumerate([1, 2, 4, 8]):
             tgt, tw = jax.vmap(
-                lambda jt, v, d=div: hm_ops.generate_target(
-                    jt, v, image_size, (hm_size[0] // d, hm_size[1] // d), cfg.model.sigma
+                lambda jt, v, d=div, sg=sigmas[idx]: hm_ops.generate_target(
+                    jt, v, image_size, (hm_size[0] // d, hm_size[1] // d), sg
                 )
             )(joints, jnp.asarray(raw["joints_vis"]))
             suffix = "" if idx == 0 else str(idx + 1)
@@ -138,7 +194,7 @@ def main():
         return batch
 
     total_steps = cfg.train.end_epoch * steps_per_epoch
-    for epoch in range(cfg.train.begin_epoch, cfg.train.end_epoch):
+    for epoch in range(begin_epoch, cfg.train.end_epoch):
         for i in range(steps_per_epoch):
             key = jax.random.fold_in(base_key, int(state.step))
             src_raw = next(src_iter)
@@ -155,7 +211,31 @@ def main():
                     epoch, int(state.step), storage.avg("loss"), storage.avg("d_loss"),
                 )
         writer.write(storage)
-        mgr.save(int(state.step), _as_train_state(state, model), {"epoch": epoch})
+        gen_state = _as_train_state(state, model)
+        mgr.save(int(state.step), gen_state, {"epoch": epoch})
+        mgr_da.save(int(state.step), da_payload(state), {"epoch": epoch})
+        # validate on the target domain every 5 epochs
+        # (train_da_ms.py:277-288)
+        if val_examples is not None and (
+            (epoch + 1) % 5 == 0 or epoch == cfg.train.end_epoch - 1
+        ):
+            from spacecraft_pose_estimation_tpu.train import landmark_loop
+
+            preds = landmark_loop.validate(
+                model,
+                {"params": state.gen_params, "batch_stats": state.gen_stats},
+                val_examples,
+                cfg.test.batch_size_per_chip,
+                tuple(cfg.model.image_size),
+                output_path=os.path.join(args.output, "pred_val_real.mat"),
+                flip_test=cfg.test.flip_test,
+                post_process=cfg.test.post_process,
+                shift_heatmap=cfg.test.shift_heatmap,
+            )
+            mean_conf = float(preds[:, :, 2].mean())
+            storage.put_scalar("val_mean_conf", mean_conf)
+            if mgr.save_best(int(state.step), mean_conf, state=gen_state):
+                logger.info("new best at epoch %d (%.4f)", epoch, mean_conf)
         logger.info("epoch %d done", epoch)
     writer.close()
 
