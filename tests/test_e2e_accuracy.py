@@ -144,3 +144,15 @@ def test_training_improves_pose_error():
     # floor (sub-pixel heatmap noise at this tiny resolution)
     assert rot_i8 <= rot1 * 1.01 + 0.5, (rot1, rot_i8)
     assert terr_i8 <= terr1 * 1.01 + 0.005, (terr1, terr_i8)
+
+    # the FOLDED epilogue executor (the serving default when BENCH_FOLD
+    # flips it on: residual/fuse adds consume the pre-round f32 conv
+    # epilogue, skipping one quantization per block) must carry the same
+    # pose-error budget — it is NOT bit-identical to the walk.
+    q_nos2d = quantize_hrnet(model, trained, calib, s2d=False)
+    rot_f, terr_f = pose_errors(
+        HRNetInt8(model.config, fold_residual=True, fold_fuse_up=True),
+        q_nos2d, test_frames, test_lm, test_K, test_R, test_t,
+    )
+    assert rot_f <= rot1 * 1.01 + 0.5, (rot1, rot_f)
+    assert terr_f <= terr1 * 1.01 + 0.005, (terr1, terr_f)
