@@ -309,6 +309,15 @@ class TestWorkflow:
         sposes = _json.loads((staged_out / "s0" / "opencv_poses.json").read_text())
         assert [p["image_name"] for p in fposes] == [p["image_name"] for p in sposes]
 
+    def test_benchmark_train_det(self):
+        """tools/benchmark.py train-det (d2 tools/benchmark.py:69-134
+        train-throughput counterpart) runs and reports s/iter."""
+        r = run([
+            "tools/benchmark.py", "--task", "train-det",
+            "--model", "RCNN_TINY", "--input-size", "64", "--batch-size", "2",
+        ])
+        assert "s/iter" in r.stdout and "images/s" in r.stdout
+
     def test_demo_single_image(self, scene, trained, tmp_path):
         """Executed demo: image + box -> keypoints + pose + overlay jpg
         (landmark_regression/demo parity)."""

@@ -90,6 +90,75 @@ def benchmark_train(args):
           f"{dt * 1e3:.1f} ms/step, {b / dt:.1f} images/s")
 
 
+def benchmark_train_det(args):
+    """Detector train-step throughput (the BASELINE row's counterpart:
+    Faster R-CNN X101-FPN 3x trains at 0.638 s/iter at batch 16 on
+    8x V100, MODEL_ZOO.md:192-199 — i.e. 25.1 images/s cluster-wide)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spacecraft_pose_estimation_tpu.models.rcnn import GeneralizedRCNN
+    from spacecraft_pose_estimation_tpu.models.zoo import DETECTOR_PRESETS
+    from spacecraft_pose_estimation_tpu.train.detection_state import (
+        DetTrainState,
+        make_detection_train_step,
+    )
+    from spacecraft_pose_estimation_tpu.train.optim import build_optimizer
+
+    cfg = DETECTOR_PRESETS[args.model].config if args.model in DETECTOR_PRESETS \
+        else getattr(__import__(
+            "spacecraft_pose_estimation_tpu.models.rcnn", fromlist=[args.model]
+        ), args.model)
+    size, b = args.input_size, args.batch_size
+    model = GeneralizedRCNN(config=cfg, dtype=jnp.bfloat16)
+    variables = jax.jit(lambda k: model.init(
+        {"params": k, "sampling": jax.random.key(1)},
+        jnp.zeros((1, size, size, 3)), train=False,
+    ))(jax.random.key(0))
+    state = DetTrainState.create(
+        model, variables, build_optimizer("sgd", 1e-3, momentum=0.9)
+    )
+    rng = np.random.default_rng(0)
+    # one box per image spread over the frame (the spacecraft contract)
+    x0 = rng.uniform(0, size * 0.6, (b, 1))
+    y0 = rng.uniform(0, size * 0.6, (b, 1))
+    wh = rng.uniform(size * 0.15, size * 0.35, (b, 2))
+    batch = {
+        "image": jnp.asarray(rng.normal(0, 60, (b, size, size, 3)).astype(np.float32) + 120),
+        "gt_boxes": jnp.asarray(
+            np.concatenate([x0, y0, x0 + wh[:, :1], y0 + wh[:, 1:]], 1)[:, None, :],
+            jnp.float32,
+        ),
+        "gt_classes": jnp.zeros((b, 1), jnp.int32),
+        "gt_valid": jnp.ones((b, 1), bool),
+    }
+    step = make_detection_train_step()
+
+    @partial(jax.jit, static_argnames="n")
+    def repeat(n, state, batch):
+        def body(carry, i):
+            st, _ = carry
+            st, m = step(st, batch, jax.random.fold_in(jax.random.key(0), i))
+            return (st, m["loss_total"]), None
+
+        (st, loss), _ = jax.lax.scan(body, (state, jnp.float32(0)), jnp.arange(n))
+        return loss
+
+    def timed(n):
+        t0 = time.perf_counter()
+        float(repeat(n, state, batch))
+        return time.perf_counter() - t0
+
+    timed(1)
+    timed(4)
+    t1 = min(timed(1) for _ in range(3))
+    t4 = min(timed(4) for _ in range(3))
+    dt = (t4 - t1) / 3
+    print(f"detector train step ({args.model} {size}^2 b{b}): "
+          f"{dt * 1e3:.1f} ms/step ({dt:.3f} s/iter), {b / dt:.1f} images/s")
+
+
 def benchmark_eval(args):
     import jax
     import jax.numpy as jnp
@@ -129,7 +198,8 @@ def benchmark_eval(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", choices=["data", "train", "eval"], required=True)
+    ap.add_argument("--task", choices=["data", "train", "train-det", "eval"],
+                    required=True)
     ap.add_argument("--train-json")
     ap.add_argument("--image-dir")
     ap.add_argument("--model", default="pose_hrnet")
@@ -137,7 +207,8 @@ def main():
     ap.add_argument("--input-size", type=int, default=512)
     ap.add_argument("--batch-size", type=int, default=32)
     args = ap.parse_args()
-    {"data": benchmark_data, "train": benchmark_train, "eval": benchmark_eval}[args.task](args)
+    {"data": benchmark_data, "train": benchmark_train,
+     "train-det": benchmark_train_det, "eval": benchmark_eval}[args.task](args)
 
 
 if __name__ == "__main__":
