@@ -80,3 +80,22 @@ class TestZoo:
         p = get_detector_preset("config_20")
         assert p.arch == "retinanet"
         assert p.config.backbone.depth == 101
+        # INPUT block commented out upstream -> d2 default RANDOM_FLIP
+        # "horizontal" (defaults.py:68)
+        assert p.flip is True
+
+    def test_solver_presets_match_registry(self):
+        """Each preset carries the reference registry's exact SOLVER/TEST
+        block (object_detection_utils.py config_N bodies)."""
+        expect = {
+            "config_1": (5000, 0.001, 4, 500, (500, 800, 1000, 1100, 1200), 0.05, 1000),
+            "config_2": (10000, 0.001, 8, 200, (2000, 6000, 8000), 0.1, 2000),
+            "config_3": (15000, 0.0001, 7, 500, (10000,), 0.1, 5000),
+            "config_4": (10000, 0.0001, 10, 500, (8000,), 0.1, 5000),
+            "config_20": (20000, 0.0001, 10, 500, (6000, 10000, 15000), 0.1, 10000),
+        }
+        for name, (mi, lr, ims, wu, steps, gamma, ep) in expect.items():
+            s = DETECTOR_PRESETS[name].solver
+            assert (s.max_iter, s.base_lr, s.ims_per_batch, s.warmup_iters,
+                    s.steps, s.gamma, s.eval_period) == (mi, lr, ims, wu, steps, gamma, ep)
+            assert s.checkpoint_period == 500

@@ -194,6 +194,10 @@ class TestWorkflow:
             "--train-json", str(coco_jsons / "synthetic_train.json"),
             "--image-dir", str(trained["flat"]),
             "--output", str(det_out),
+            # registry-driven launch (reference --config config_N); the
+            # explicit flags override the preset's solver fields so the
+            # smoke stays tiny
+            "--preset", "config_1",
             "--tiny", "--input-size", "64", "--batch-size", "2",
             "--max-iter", "2", "--checkpoint-period", "2",
         ])

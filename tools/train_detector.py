@@ -26,14 +26,21 @@ def main():
     ap.add_argument("--val-json", default=None)
     ap.add_argument("--image-dir", required=True)
     ap.add_argument("--output", default="output/detector")
-    ap.add_argument("--arch", choices=["faster_rcnn", "retinanet"], default="faster_rcnn")
+    ap.add_argument("--preset", default=None,
+                    help="reference registry config name (train_object_detection.py "
+                         "--config / object_detection_utils.py config_N): sets the "
+                         "model, input size, flip, and the exact SOLVER schedule "
+                         "(max_iter/lr/batch/warmup/steps/gamma/periods); any "
+                         "explicit flag below overrides its field. config_4 pins "
+                         "input size to the frame height — pass --input-size.")
+    ap.add_argument("--arch", choices=["faster_rcnn", "retinanet"], default=None)
     ap.add_argument("--tiny", action="store_true")
-    ap.add_argument("--input-size", type=int, default=768)
-    ap.add_argument("--batch-size", type=int, default=4)
-    ap.add_argument("--max-iter", type=int, default=6000)
-    ap.add_argument("--lr", type=float, default=0.00025)
-    ap.add_argument("--eval-period", type=int, default=1000)
-    ap.add_argument("--checkpoint-period", type=int, default=1000)
+    ap.add_argument("--input-size", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--max-iter", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--eval-period", type=int, default=None)
+    ap.add_argument("--checkpoint-period", type=int, default=None)
     ap.add_argument("--flip", action="store_true",
                     help="horizontal RandomFlip p=0.5 (config_1-style; the "
                          "flagship config_4 sets INPUT.RANDOM_FLIP='none')")
@@ -82,17 +89,47 @@ def main():
         Trainer,
     )
 
+    # resolve preset-vs-flag defaults: a named preset supplies every
+    # unset field; without one, the round-1 standalone defaults apply
+    preset = solver = None
+    if args.preset:
+        from spacecraft_pose_estimation_tpu.models.zoo import get_detector_preset
+
+        preset = get_detector_preset(args.preset, image_height=args.input_size)
+        solver = preset.solver
+    if args.arch is None:
+        args.arch = preset.arch if preset else "faster_rcnn"
+    elif preset and args.arch != preset.arch:
+        ap.error(f"--arch {args.arch} conflicts with --preset {args.preset} "
+                 f"({preset.arch}); drop one of the flags")
+    if args.input_size is None:
+        args.input_size = preset.input_size if preset else 768
+    if args.batch_size is None:
+        args.batch_size = solver.ims_per_batch if solver else 4
+    if args.max_iter is None:
+        args.max_iter = solver.max_iter if solver else 6000
+    if args.lr is None:
+        args.lr = solver.base_lr if solver else 0.00025
+    if args.eval_period is None:
+        args.eval_period = solver.eval_period if solver else 1000
+    if args.checkpoint_period is None:
+        args.checkpoint_period = solver.checkpoint_period if solver else 1000
+    if preset and not args.flip:
+        args.flip = preset.flip
+
     size = args.input_size
     if args.arch == "faster_rcnn":
+        cfg = FASTER_RCNN_X101_SPACECRAFT if preset is None else preset.config
         model = GeneralizedRCNN(
-            config=RCNN_TINY if args.tiny else FASTER_RCNN_X101_SPACECRAFT,
+            config=RCNN_TINY if args.tiny else cfg,
             dtype=jnp.bfloat16,
         )
         needs_rng = True
         init_rngs = {"params": jax.random.key(0), "sampling": jax.random.key(1)}
     else:
+        cfg = RetinaNetConfig(num_classes=1) if preset is None else preset.config
         model = RetinaNet(
-            config=RETINANET_TINY if args.tiny else RetinaNetConfig(num_classes=1),
+            config=RETINANET_TINY if args.tiny else cfg,
             dtype=jnp.bfloat16,
         )
         needs_rng = False
@@ -102,11 +139,17 @@ def main():
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
     logger.info("model params: %.2fM", n_params / 1e6)
 
-    # detectron2 3x-style schedule scaled to max_iter
-    milestones = [int(args.max_iter * 0.67), int(args.max_iter * 0.89)]
+    if solver is not None:
+        # the reference registry's exact schedule for this config
+        milestones = [s for s in solver.steps if s < args.max_iter]
+        gamma, warmup = solver.gamma, solver.warmup_iters
+    else:
+        # detectron2 3x-style schedule scaled to max_iter
+        milestones = [int(args.max_iter * 0.67), int(args.max_iter * 0.89)]
+        gamma, warmup = 0.1, min(1000, args.max_iter // 10)
     tx = build_optimizer(
         "sgd",
-        multistep_schedule(args.lr, milestones, 0.1, warmup_steps=min(1000, args.max_iter // 10)),
+        multistep_schedule(args.lr, milestones, gamma, warmup_steps=warmup),
         weight_decay=1e-4,
         momentum=0.9,
         grad_clip_norm=None,
