@@ -3,7 +3,7 @@
 # det512 every-frame at b64: the s6 det512 run used b32 (184.4 fps); the
 # batch knob dominates (768: b32=151.8 -> b64=247.7), so 512 b64 should
 # beat the published 247.7 every-frame point.
-set -u
+set -u -o pipefail
 cd "$(dirname "$0")/.."
 mkdir -p devbench/logs
 echo "=== [det512_b64] $(date -u +%H:%M:%S) ==="

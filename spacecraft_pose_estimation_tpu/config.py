@@ -88,6 +88,12 @@ class DatasetCfg:
     flip: bool = False
     scale_factor: float = 0.25
     rot_factor: float = 30.0
+    # half-body crop augmentation (JointsDataset.py:155-162); default-off
+    # in every reference spacecraft config (default.py:81-82, prob 0.0)
+    # and the spacecraft datasets define no body split (events.py:35-36)
+    num_joints_half_body: int = 8
+    prob_half_body: float = 0.0
+    upper_body_ids: tuple = ()
     color_rgb: bool = True
     # adversarial twins (train_da_ms.py)
     root_adversarial: str = ""

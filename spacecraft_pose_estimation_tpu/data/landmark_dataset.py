@@ -123,7 +123,85 @@ def sample_augmentation(
     return s, r
 
 
-@partial(jax.jit, static_argnames=("image_size", "heatmap_size", "sigma", "train"))
+def half_body_center_scale(
+    joints: Array,  # (J, 2) source coords
+    joints_vis: Array,  # (J,) 0/1
+    coin: Array,  # scalar ~ N(0,1) (the reference draws np.random.randn())
+    upper_mask: Array,  # (J,) 1 where joint_id in upper_body_ids
+    aspect_ratio: float,
+    pixel_std: float = 200.0,
+) -> tuple[Array, Array, Array]:
+    """Half-body crop center/scale (JointsDataset.py:73-118), vectorised.
+
+    Reference semantics: split visible joints into upper/lower body sets;
+    pick the upper set when `randn() < 0.5 and len(upper) > 2`, else the
+    lower set if it has >2 joints, else upper. Fewer than 2 selected
+    joints -> invalid (caller keeps the bbox center/scale). Center is the
+    selected-joint mean; scale spans their extent, aspect-corrected, /200,
+    x1.5. Note the reference's coin is a NORMAL draw compared to 0.5
+    (P(upper branch) = Phi(0.5) ~ 0.69) - preserved.
+
+    Returns (valid, center (2,), scale (2,)).
+    """
+    vis = joints_vis > 0
+    up_sel = vis & (upper_mask > 0)
+    lo_sel = vis & (upper_mask <= 0)
+    n_up = jnp.sum(up_sel)
+    n_lo = jnp.sum(lo_sel)
+    use_upper = ((coin < 0.5) & (n_up > 2)) | (n_lo <= 2)
+    sel = jnp.where(use_upper, up_sel, lo_sel)
+    n_sel = jnp.sum(sel)
+    valid = n_sel >= 2
+
+    w_mask = sel.astype(jnp.float32)
+    denom = jnp.maximum(n_sel.astype(jnp.float32), 1.0)
+    center = jnp.sum(joints[:, :2] * w_mask[:, None], axis=0) / denom
+    big = jnp.float32(1e9)
+    lt = jnp.min(jnp.where(sel[:, None], joints[:, :2], big), axis=0)
+    rb = jnp.max(jnp.where(sel[:, None], joints[:, :2], -big), axis=0)
+    w = rb[0] - lt[0]
+    h = rb[1] - lt[1]
+    # aspect correction (JointsDataset.py:102-106)
+    h = jnp.where(w > aspect_ratio * h, w / aspect_ratio, h)
+    w = jnp.where(w < aspect_ratio * h, h * aspect_ratio, w)
+    scale = jnp.stack([w, h]) / pixel_std * 1.5
+    return valid, center, scale
+
+
+def apply_half_body(
+    key: Array,
+    joints: Array,  # (B, J, 2)
+    joints_vis: Array,  # (B, J)
+    centers: Array,  # (B, 2)
+    scales: Array,  # (B, 2)
+    upper_body_ids: tuple[int, ...],
+    aspect_ratio: float,
+    num_joints_half_body: int,
+    prob_half_body: float,
+) -> tuple[Array, Array]:
+    """Gate + apply the half-body transform per example
+    (JointsDataset.py:155-162): fires when the visible-joint count exceeds
+    NUM_JOINTS_HALF_BODY and a uniform draw < PROB_HALF_BODY, and the
+    selected half has >= 2 joints."""
+    b = joints.shape[0]
+    j = joints.shape[1]
+    upper_mask = jnp.zeros((j,), jnp.float32).at[jnp.asarray(upper_body_ids, jnp.int32)].set(1.0)
+    k1, k2 = jax.random.split(key)
+    gate = (jnp.sum(joints_vis > 0, axis=1) > num_joints_half_body) & (
+        jax.random.uniform(k1, (b,)) < prob_half_body
+    )
+    coins = jax.random.normal(k2, (b,))
+    valid, hb_c, hb_s = jax.vmap(
+        lambda jt, v, c: half_body_center_scale(jt, v, c, upper_mask, aspect_ratio)
+    )(joints, joints_vis, coins)
+    use = (gate & valid)[:, None]
+    return jnp.where(use, hb_c, centers), jnp.where(use, hb_s, scales)
+
+
+@partial(jax.jit, static_argnames=(
+    "image_size", "heatmap_size", "sigma", "train",
+    "upper_body_ids", "num_joints_half_body", "prob_half_body",
+))
 def device_transform(
     images: Array,  # (B, H, W, 3) raw source frames 0..255
     bboxes: Array,  # (B, 4) xywh
@@ -136,11 +214,27 @@ def device_transform(
     train: bool = True,
     scale_factor: float = 0.25,
     rot_factor: float = 30.0,
+    upper_body_ids: tuple[int, ...] = (),
+    num_joints_half_body: int = 8,
+    prob_half_body: float = 0.0,
 ) -> dict:
-    """Random affine crop + normalize + heatmap targets, fully on device."""
+    """Random affine crop + normalize + heatmap targets, fully on device.
+
+    Half-body crop augmentation (JointsDataset.py:73-130,155-162) fires
+    only when `prob_half_body > 0` and `upper_body_ids` is non-empty —
+    matching the reference, where every spacecraft config leaves
+    DATASET.PROB_HALF_BODY at 0.0 and the datasets set upper_body_ids to
+    None (events.py:35)."""
     b = images.shape[0]
     centers, scales = jax.vmap(bbox_to_center_scale)(bboxes)
     if train:
+        key, hb_key = jax.random.split(key)
+        if prob_half_body > 0.0 and len(upper_body_ids) > 0:
+            centers, scales = apply_half_body(
+                hb_key, joints, joints_vis, centers, scales,
+                upper_body_ids, image_size[0] / image_size[1],
+                num_joints_half_body, prob_half_body,
+            )
         s_mult, rots = sample_augmentation(key, b, scale_factor, rot_factor)
         scales = scales * s_mult[:, None]
     else:

@@ -116,6 +116,9 @@ def main():
         train=True,
         scale_factor=cfg.dataset.scale_factor,
         rot_factor=cfg.dataset.rot_factor,
+        upper_body_ids=tuple(cfg.dataset.upper_body_ids),
+        num_joints_half_body=cfg.dataset.num_joints_half_body,
+        prob_half_body=cfg.dataset.prob_half_body,
     )
     base_key = jax.random.key(cfg.seed + 1)
 
