@@ -24,14 +24,26 @@ perturbing the frame clip would add GBs of artificial HBM traffic per
 iteration (the round-2 full-path numbers suffered exactly that).
 
 Wall-clock budget: every metric is emitted the moment it exists (the
-driver reads the last JSON line); the full-path extras are skipped when
-the elapsed time exceeds BENCH_BUDGET_S (default 1500 s) so the primary
-number always lands inside the driver window.
+driver reads the last JSON line); a full-path phase is dropped (with an
+explicit ``budget_skipped`` marker) when its compile has not finished by
+BENCH_BUDGET_S (default 1100 s) so the process always exits rc=0 inside
+the driver window (empirically ~1400 s — the r02/r03 runs were killed
+at rc=124 under the old serial-compile, 2400 s-budget scheme).
+
+Compile strategy (round 4): the axon remote-compile service accepts
+CONCURRENT requests — two ~500 s-class graphs compile in parallel
+threads in the time of one (devbench/probe_r8_parcompile.py: 507.9 s
+sequential vs 7.3 s threaded once the service is warm). bench.py
+therefore AOT-lowers and compiles ALL phase graphs in parallel threads
+at t=0 and then measures serially in priority order
+(primary -> det-every-frame -> tracked), so a driver kill can only ever
+lose the lowest-priority numbers.
 """
 
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -46,12 +58,18 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 BASELINE_FPS = 2000.0
 T0 = time.time()
-# Budget: a phase only STARTS if elapsed < BUDGET_S. Measured r3s5
-# timeline (fresh process, remote compiles): primary lands t+867s,
-# det-every-16 phase ends t+1625s, det-every-frame phase ~565s more
-# (total ~2200s). 2400 lets all three numbers land while keeping the
-# worst case (~50 min) inside the driver's observed ~1 h window.
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+# Budget: a full-path phase is abandoned if its compile thread has not
+# finished by BUDGET_S. The r02/r03 driver runs were both killed at
+# ~1400-1500 s (rc=124, BENCH_r03 tail cut at t+1350s), so the real
+# window is ~1400 s, not the 1 h the old 2400 s budget assumed. With
+# concurrent compiles the expected full timeline is ~700-900 s; 1100
+# leaves ≥300 s of slack even if the compile service serializes two of
+# the three graphs.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1100"))
+# TPU v5e peak: 197 bf16 TFLOP/s, 394 int8 TOP/s per chip. Used only to
+# contextualize the cost-model FLOP counts in `extra` (VERDICT r3 #5).
+PEAK_BF16_TFLOPS = 197.0
+PEAK_INT8_TOPS = 394.0
 
 # Windowed DMA crop measured SLOWER than the full-frame contraction on
 # v5e (DMA row-overhead + VMEM ceilings), and int8 taps measured slower
@@ -169,24 +187,7 @@ def build(batch, mode="int8"):
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return c
 
-    def timed(n):
-        t0 = time.perf_counter()
-        _ = float(repeat(serving_vars, frames, boxes, n))  # readback forces exec
-        return time.perf_counter() - t0
-
-    return timed
-
-
-def measure(batch, mode, n_lo, n_hi, reps=3):
-    _progress(f"building {mode} pipeline (batch {batch})")
-    timed = build(batch, mode)
-    _progress("compiling + first run")
-    timed(n_lo)  # compile both variants
-    timed(n_hi)
-    t_lo = min(timed(n_lo) for _ in range(reps))
-    t_hi = min(timed(n_hi) for _ in range(reps))
-    dt = (t_hi - t_lo) / (n_hi - n_lo)
-    return batch / dt
+    return repeat, (serving_vars, frames, boxes), batch
 
 
 def build_full_path(det_batch=8, det_every=16, det_kind=None):
@@ -330,87 +331,202 @@ def build_full_path(det_batch=8, det_every=16, det_kind=None):
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return c
 
-    def timed(n):
-        t0 = time.perf_counter()
-        _ = float(repeat(det_vars, q_vars, frames, n))
-        return time.perf_counter() - t0
-
-    return timed, clip
+    return repeat, (det_vars, q_vars, frames), clip
 
 
-def measure_full_path(det_batch, det_every, n_lo=1, n_hi=4, reps=3):
-    timed, clip = build_full_path(det_batch, det_every)
-    timed(n_lo)
-    timed(n_hi)
-    t_lo = min(timed(n_lo) for _ in range(reps))
-    t_hi = min(timed(n_hi) for _ in range(reps))
-    dt = (t_hi - t_lo) / (n_hi - n_lo)
-    return clip / dt
+# ---------------------------------------------------------------------------
+# Concurrent AOT compile + serial measurement
+# ---------------------------------------------------------------------------
+
+
+def _flops_of(exe):
+    """Total FLOPs of a compiled executable per XLA's cost model (0 if
+    the backend does not expose cost_analysis)."""
+    try:
+        ca = exe.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+class Phase:
+    """One bench phase: builds its graphs + AOT-compiles the n_lo/n_hi
+    executables on a worker thread, then is measured serially on the
+    main thread.
+
+    `built` is set once all device work (init / PTQ calibration) is
+    done — past that point the thread only waits on the remote compile
+    service and cannot perturb another phase's device timing."""
+
+    def __init__(self, name, builder, n_lo, n_hi):
+        self.name = name
+        self.n_lo, self.n_hi = n_lo, n_hi
+        self.built = threading.Event()
+        self.done = threading.Event()
+        self.error = None
+        self.exe = {}
+        self.args = None
+        self.frames_per_iter = None
+        self.compile_s = None
+        self._builder = builder
+        self.thread = threading.Thread(target=self._work, daemon=True, name=name)
+
+    def _work(self):
+        try:
+            t0 = time.time()
+            repeat, self.args, self.frames_per_iter = self._builder()
+            self.built.set()
+            _progress(f"{self.name}: built (device work done), compiling")
+            lo = repeat.lower(*self.args, n=self.n_lo)
+            hi = repeat.lower(*self.args, n=self.n_hi)
+            self.exe[self.n_lo] = lo.compile()
+            self.exe[self.n_hi] = hi.compile()
+            self.compile_s = round(time.time() - t0, 1)
+            _progress(f"{self.name}: compiled in {self.compile_s}s")
+        except Exception as e:  # surfaced in extra, never fatal
+            self.error = f"{type(e).__name__}: {e}"[:200]
+            self.built.set()
+        finally:
+            self.done.set()
+
+    def measure(self, reps=3):
+        """Marginal per-iteration time between n_lo and n_hi repeats —
+        pure device throughput, dispatch overhead excluded (see module
+        docstring). Returns (fps, flop_stats)."""
+        exe_lo, exe_hi = self.exe[self.n_lo], self.exe[self.n_hi]
+
+        def timed(e):
+            t0 = time.perf_counter()
+            _ = float(e(*self.args))  # scalar readback forces execution
+            return time.perf_counter() - t0
+
+        timed(exe_lo)  # warm-up (first dispatch pays transfers)
+        timed(exe_hi)
+        t_lo = min(timed(exe_lo) for _ in range(reps))
+        t_hi = min(timed(exe_hi) for _ in range(reps))
+        # guard: real phases have 0.1-10 s marginal cost; clamp protects
+        # against timer-noise-negative dt on degenerate graphs
+        dt = max((t_hi - t_lo) / (self.n_hi - self.n_lo), 1e-6)
+        fps = self.frames_per_iter / dt
+
+        f_lo, f_hi = _flops_of(exe_lo), _flops_of(exe_hi)
+        stats = {}
+        if f_hi > f_lo > 0:
+            fl_iter = (f_hi - f_lo) / (self.n_hi - self.n_lo)
+            achieved = fl_iter / dt / 1e12
+            stats = {
+                "model_gflops_per_frame": round(fl_iter / self.frames_per_iter / 1e9, 2),
+                "achieved_tflops": round(achieved, 1),
+                "roofline_ms_per_iter_bf16peak": round(fl_iter / (PEAK_BF16_TFLOPS * 1e12) * 1e3, 2),
+                "measured_ms_per_iter": round(dt * 1e3, 2),
+                "mfu_vs_bf16_peak197": round(achieved / PEAK_BF16_TFLOPS, 3),
+                "mfu_vs_int8_peak394": round(achieved / PEAK_INT8_TOPS, 3),
+            }
+        return fps, stats
+
+    def release(self):
+        self.exe = {}
+        self.args = None
 
 
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     n_lo = int(os.environ.get("BENCH_N_LO", "2"))
     n_hi = int(os.environ.get("BENCH_N_HI", "12"))
+    # det_batch=64 for the every-frame point: at det_batch=8 the HRNet
+    # stage runs at batch 8 where it is latency-bound (119.9 fps);
+    # batching the stream amortizes both stages (151.8 fps at b32,
+    # 247.7 at b64 post-letterbox-fix — exp_r3_batching / r3s5).
+    fp_batch = int(os.environ.get("BENCH_FP_BATCH", "64"))
 
-    fps = measure(batch, "int8", n_lo, n_hi)
-    _progress(f"primary int8 fps: {fps:.1f}")
-    extra = {"mode": "int8_direct_serving", "batch": batch,
-             "warp": f"{WARP_DTYPE}_fullframe"}
+    phases = [Phase("primary", lambda: build(batch, "int8"), n_lo, n_hi)]
+    if not os.environ.get("BENCH_SKIP_FULL_PATH"):
+        # priority order AFTER the primary: every-frame first (never
+        # driver-captured in r02/r03), tracked last (captured twice).
+        phases.append(
+            Phase(
+                "full_path_det_every_frame_fps",
+                lambda: build_full_path(det_batch=fp_batch, det_every=1),
+                1, 4,
+            )
+        )
+        phases.append(
+            Phase(
+                "full_path_det_every_16_fps",
+                lambda: build_full_path(det_batch=8, det_every=16),
+                1, 4,
+            )
+        )
+    for p in phases:
+        p.thread.start()
+
+    extra = {
+        "mode": "int8_direct_serving",
+        "batch": batch,
+        "warp": f"{WARP_DTYPE}_fullframe",
+        "det_kind": os.environ.get("BENCH_DET", "r101_1obj_int8"),
+    }
+    result = {"fps": 0.0}
 
     def emit():
         print(
             json.dumps(
                 {
                     "metric": "e2e_crop_hrnetw32_decode_pnp_frames_per_sec",
-                    "value": round(fps, 2),
+                    "value": round(result["fps"], 2),
                     "unit": "frames/s/chip",
-                    "vs_baseline": round(fps / BASELINE_FPS, 4),
+                    "vs_baseline": round(result["fps"] / BASELINE_FPS, 4),
                     "extra": extra,
                 }
             ),
             flush=True,
         )
 
-    # emit the primary result IMMEDIATELY: the full-path extras compile
-    # two more large graphs and a driver timeout must not lose the
-    # primary number. A second, enriched JSON line replaces this one if
-    # the extras complete (drivers reading either the first or the last
-    # JSON line get a valid result).
-    emit()
-
-    if os.environ.get("BENCH_FULL"):
-        extra["bf16_fps"] = round(measure(batch, "bf16", n_lo, n_hi), 2)
+    for p in phases:
+        remaining = BUDGET_S - (time.time() - T0)
+        if remaining > 0:
+            p.done.wait(timeout=remaining)
+        if not p.done.is_set():
+            extra["budget_skipped"] = extra.get("budget_skipped", "") + " " + p.name
+            extra["budget_skipped"] = extra["budget_skipped"].strip()
+            _progress(f"budget exceeded waiting for {p.name} compile; skipping")
+            emit()
+            continue
+        if p.error is not None:
+            extra[p.name + "_error"] = p.error
+            emit()
+            continue
+        fps, stats = p.measure()
+        _progress(f"{p.name}: {fps:.1f} fps (compile {p.compile_s}s)")
+        if p.name == "primary":
+            result["fps"] = fps
+            extra.update(stats)
+            extra["primary_compile_s"] = p.compile_s
+        else:
+            extra[p.name] = round(fps, 2)
+            extra[p.name + "_stats"] = stats
+            p.release()
+        # emit the moment each number exists: a driver kill can only
+        # lose the phases that have not yet printed.
         emit()
 
-    # TRUE full path: detect -> best box -> crop -> HRNet -> PnP in one
-    # graph. Two serving points: detector on every frame, and the
-    # tracked mode (detect every 16th frame, hold box).
-    if not os.environ.get("BENCH_SKIP_FULL_PATH"):
-        extra["det_kind"] = os.environ.get("BENCH_DET", "r101_1obj_int8")
-        # det_batch=64 for the every-frame point: at det_batch=8 the
-        # HRNet stage runs at batch 8 where it is latency-bound (119.9
-        # fps); batching the stream amortizes both stages (measured
-        # 151.8 fps at b32, 247.7 at b64 post-letterbox-fix —
-        # exp_r3_batching / r3s5). The full r3s5 run (fresh process,
-        # remote compiles) finished all three phases in ~37 min, inside
-        # the driver window; the budget gate above still protects rc=0.
-        fp_batch = int(os.environ.get("BENCH_FP_BATCH", "64"))
-        for key, kwargs in (
-            ("full_path_det_every_16_fps", dict(det_batch=8, det_every=16)),
-            ("full_path_det_every_frame_fps", dict(det_batch=fp_batch, det_every=1)),
-        ):
-            if time.time() - T0 > BUDGET_S:
-                extra["budget_skipped"] = key
-                _progress(f"budget exceeded; skipping {key}")
-                emit()
-                break
-            try:
-                _progress(f"full path: {key}")
-                extra[key] = round(measure_full_path(**kwargs), 2)
-            except Exception as e:  # keep the primary metric robust
-                extra[key + "_error"] = f"{type(e).__name__}: {e}"[:200]
-            emit()
+    # Re-measure the primary once every compile thread has drained:
+    # background remote-compile waits cost ~20% host-dispatch throughput
+    # (devbench/probe_r8_parcompile.py), so the first primary sample can
+    # read low. Keep the max of the two (min-of-reps makes each sample a
+    # floor, never an overestimate).
+    prim = phases[0]
+    if prim.error is None and prim.exe and any(
+        p.name != "primary" and p.done.is_set() for p in phases[1:]
+    ):
+        fps2, stats2 = prim.measure()
+        _progress(f"primary (quiet re-measure): {fps2:.1f} fps")
+        if fps2 > result["fps"]:
+            result["fps"] = fps2
+            extra.update(stats2)
+        emit()
 
 
 if __name__ == "__main__":
