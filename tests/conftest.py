@@ -80,9 +80,47 @@ SMOKE_NODES = {
 }
 
 
+# ---------------------------------------------------------------------------
+# micro tier: `pytest -m micro` — the true pre-commit gate for a 1-vCPU
+# host (VERDICT r3 #7). Whole FILES of pure-numpy / geometry / config /
+# golden-oracle tests with no jit-heavy model builds; measured ~2m50s
+# total on this box (118s for the first ten files + ~50s for the rest
+# after excluding the two slow weight-roundtrip tests below).
+# ---------------------------------------------------------------------------
+
+MICRO_FILES = {
+    "test_geometry.py",
+    "test_config.py",
+    "test_coco_io.py",
+    "test_structures_zoo.py",
+    "test_coco_eval.py",
+    "test_events.py",
+    "test_aedat4.py",
+    "test_ddd20.py",
+    "test_catalog_env.py",
+    "test_utils_misc.py",
+    "test_heatmap.py",
+    "test_zoo_import.py",
+    "test_torch_import.py",
+    "test_augment.py",
+}
+
+MICRO_EXCLUDE = {
+    # 50s + 33s on 1 vCPU — full-zoo / full-trunk weight roundtrips
+    "tests/test_zoo_import.py::test_zoo_pickle_roundtrip",
+    "tests/test_torch_import.py::TestHRNetImport::test_roundtrip_identity",
+}
+
+
 def pytest_collection_modifyitems(config, items):
     import pytest as _pytest
 
     for item in items:
         if item.nodeid in SMOKE_NODES:
             item.add_marker(_pytest.mark.smoke)
+        if (
+            item.path is not None
+            and item.path.name in MICRO_FILES
+            and item.nodeid not in MICRO_EXCLUDE
+        ):
+            item.add_marker(_pytest.mark.micro)
