@@ -1,5 +1,9 @@
-"""torchvision shim: the two entry points the reference's landmark stack
-touches — transforms.Compose/ToTensor/Normalize (tools/test.py:106-108)
-and utils.make_grid (lib/utils/vis.py:28, debug images only)."""
+"""torchvision shim: the entry points the reference stacks touch —
+transforms.Compose/ToTensor/Normalize (landmark tools/test.py:106-108),
+utils.make_grid (lib/utils/vis.py:28, debug images only), and the ops
+the vendored detectron2 wraps (nms/roi_align on the inference path,
+layers/nms.py + layers/roi_align.py)."""
 
-from . import transforms, utils  # noqa: F401
+__version__ = "0.11.0"  # >= (0,7): layers/roi_align.py's aligned gate
+
+from . import ops, transforms, utils  # noqa: F401

@@ -52,7 +52,9 @@ class CfgNode(dict):
                 v.defrost()
 
     def clone(self):
-        node = CfgNode(new_allowed=object.__getattribute__(self, "_new_allowed"))
+        # preserve the subclass (detectron2's CfgNode subclasses the
+        # fvcore one, which subclasses this; get_cfg() clones _C)
+        node = type(self)(new_allowed=object.__getattribute__(self, "_new_allowed"))
         for k, v in self.items():
             node[k] = v.clone() if isinstance(v, CfgNode) else copy.deepcopy(v)
         return node

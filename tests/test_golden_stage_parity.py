@@ -229,6 +229,109 @@ class TestLandmarkStageGolden:
         assert np.median(dconf) < 5e-3, np.median(dconf)
 
 
+REF_DET = "/root/reference/object_detection"
+
+
+class TestDetectorStageGolden:
+    """Stage-1 golden parity: run the reference's own
+    export_object_detection_bounding_boxes.py (config_4 X101-FPN,
+    DefaultPredictor, CPU via the ref_shims fvcore/iopath/torchvision
+    oracles) against our tools/export_boxes.py with the SAME torch-born
+    weights (utils/torch_import.detectron2_torch_to_flax) on the SAME
+    frames, and require the emitted real_test.json boxes to match
+    (argmax-score selection, export...bounding_boxes.py:303-366)."""
+
+    N_IMG = 6
+    S = 160  # square frames: ResizeShortestEdge(S,S) == our letterbox(S)
+
+    def _make_frames(self, root, rng):
+        img_dir = os.path.join(root, "frames")
+        os.makedirs(img_dir)
+        for i in range(self.N_IMG):
+            img = rng.integers(0, 70, (self.S, self.S, 3)).astype(np.uint8)
+            cx, cy = int(rng.integers(50, self.S - 50)), int(rng.integers(50, self.S - 50))
+            cv2.circle(img, (cx, cy), 22, (210, 190, 230), -1)
+            cv2.rectangle(img, (cx - 14, cy - 8), (cx + 14, cy + 8), (60, 230, 80), -1)
+            # image_id is parsed as int(name.replace('img','').split('.')[0])
+            # (export...bounding_boxes.py:338) -> the img<digits> contract
+            cv2.imwrite(os.path.join(img_dir, f"img{i:04d}.png"), img)
+        return img_dir
+
+    def test_real_test_json_matches_reference_script(self, tmp_path):
+        root = str(tmp_path)
+        rng = np.random.default_rng(7)
+        img_dir = self._make_frames(root, rng)
+
+        lm_csv = os.path.join(root, "landmarks.csv")
+        with open(lm_csv, "w") as f:
+            f.write("x,y,z\n" + "\n".join("0.1,0.2,0.3" for _ in range(11)) + "\n")
+        val_json = os.path.join(root, "val.json")
+        with open(val_json, "w") as f:
+            json.dump([], f)  # registered but never iterated by the exporter
+
+        # --- torch-born weights: random-init the REFERENCE config_4 model
+        ckpt_pth = os.path.join(root, "ref_det.pth")
+        env = _ref_env()
+        env["PYTHONPATH"] = os.pathsep.join(
+            [SHIMS, os.path.join(REF_DET, "detectron2"), REF_DET]
+        )
+        _run(
+            [sys.executable, os.path.join(SHIMS, "run_ref_cpu.py"),
+             os.path.join(SHIMS, "make_ref_detector_ckpt.py"),
+             str(self.S), ckpt_pth],
+            cwd=root, env=env,
+        )
+
+        # --- reference stage script (unmodified, CPU) ---
+        ref_out = os.path.join(root, "ref_out")
+        _run(
+            [sys.executable, os.path.join(SHIMS, "run_ref_cpu.py"),
+             os.path.join(REF_DET, "export_object_detection_bounding_boxes.py"),
+             "--frames_dir", img_dir, "--model_file", ckpt_pth,
+             "--validation_annotations", val_json, "--landmarks_file", lm_csv,
+             "--output_dir", ref_out, "--config", "config_4",
+             "--batch_size", "4",
+             "--image_width", str(self.S), "--image_height", str(self.S)],
+            cwd=REF_DET, env=env,
+        )
+        with open(os.path.join(ref_out, "real_test.json")) as f:
+            ref_coco = json.load(f)
+
+        # --- ours: torch weights -> flax ckpt -> export_boxes ---
+        our_ckpt = os.path.join(root, "our_ckpt")
+        _run(
+            [sys.executable, os.path.join(REPO, "tools", "import_weights.py"),
+             "--torch-checkpoint", ckpt_pth, "--kind", "detectron2",
+             "--image-size", str(self.S), str(self.S), "--output", our_ckpt],
+        )
+        our_out = os.path.join(root, "our_out")
+        _run(
+            [sys.executable, os.path.join(REPO, "tools", "export_boxes.py"),
+             "--image-dir", img_dir, "--checkpoint", our_ckpt,
+             "--output-dir", our_out, "--image-width", str(self.S),
+             "--image-height", str(self.S), "--input-size", str(self.S),
+             "--batch-size", "4", "--landmarks-count", "11",
+             "--dtype", "float32", "--no-debug-images"],
+        )
+        with open(os.path.join(our_out, "real_test.json")) as f:
+            our_coco = json.load(f)
+
+        def by_name(coco):
+            id2name = {im["id"]: im["file_name"] for im in coco["images"]}
+            return {id2name[a["image_id"]]: a for a in coco["annotations"]}
+
+        ref_anns, our_anns = by_name(ref_coco), by_name(our_coco)
+        assert sorted(ref_anns) == sorted(our_anns)
+        assert len(ref_anns) == self.N_IMG
+        for name, ra in ref_anns.items():
+            oa = our_anns[name]
+            # the dummy-keypoint contract rides along (":351 fills 2.0")
+            assert oa["keypoints"] == ra["keypoints"]
+            assert oa["category_id"] == ra["category_id"] == 1
+            d = np.abs(np.asarray(ra["bbox"]) - np.asarray(oa["bbox"]))
+            assert d.max() < 1.0, (name, ra["bbox"], oa["bbox"])
+
+
 class TestPnPStageGolden:
     def test_poses_match_reference_script(self, tmp_path):
         """reference export_predicted_poses_real.py vs our

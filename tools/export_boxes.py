@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--tiny", action="store_true", help="use the tiny test config")
     ap.add_argument("--no-debug-images", action="store_true")
+    ap.add_argument(
+        "--dtype", choices=["bfloat16", "float32"], default="bfloat16",
+        help="compute dtype (float32 for bit-tight golden-parity runs)",
+    )
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -53,7 +57,7 @@ def main():
 
     model = GeneralizedRCNN(
         config=RCNN_TINY if args.tiny else FASTER_RCNN_X101_SPACECRAFT,
-        dtype=jnp.bfloat16,
+        dtype=jnp.dtype(args.dtype),
     )
     size = args.input_size
     template = model.init(
