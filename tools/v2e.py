@@ -271,12 +271,19 @@ def main():
     in_rate = args.input_frame_rate * max(args.input_slowmotion_factor, 1e-9)
 
     if args.synthetic_input:
-        mod = importlib.import_module(args.synthetic_input)
-        cls = next(
-            v for v in vars(mod).values()
-            if isinstance(v, type) and issubclass(v, SyntheticInput)
-            and v is not SyntheticInput
-        )
+        # "pkg.module" (first SyntheticInput subclass in the module, the
+        # reference's convention) or "pkg.module:ClassName" to pick one
+        # of several (e.g. events.synthetic_input:MovingBar)
+        mod_name, _, cls_name = args.synthetic_input.partition(":")
+        mod = importlib.import_module(mod_name)
+        if cls_name:
+            cls = getattr(mod, cls_name)
+        else:
+            cls = next(
+                v for v in vars(mod).values()
+                if isinstance(v, type) and issubclass(v, SyntheticInput)
+                and v is not SyntheticInput
+            )
         src = cls(width=out_w or 346, height=out_h or 260)
         frames, _ts = src.frames_array()
         frames = np.asarray(frames, np.float32)
