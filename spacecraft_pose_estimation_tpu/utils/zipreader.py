@@ -21,6 +21,16 @@ def is_zip_path(path: str) -> bool:
     return _SPLIT in path and ".zip" in path
 
 
+def read_bytes(archive_path: str, inner: str) -> bytes:
+    """Raw bytes of one archive member, through the cached handles."""
+    with _lock:
+        zf = _cache.get(archive_path)
+        if zf is None:
+            zf = zipfile.ZipFile(archive_path)
+            _cache[archive_path] = zf
+        return zf.read(inner)
+
+
 def imread(path: str, flags=None):
     import cv2
 
@@ -29,12 +39,7 @@ def imread(path: str, flags=None):
     if not is_zip_path(path):
         return cv2.imread(path, flags)
     archive_path, inner = path.split(_SPLIT, 1)
-    with _lock:
-        zf = _cache.get(archive_path)
-        if zf is None:
-            zf = zipfile.ZipFile(archive_path)
-            _cache[archive_path] = zf
-        data = zf.read(inner)
+    data = read_bytes(archive_path, inner)
     buf = np.frombuffer(data, np.uint8)
     return cv2.imdecode(buf, flags)
 

@@ -121,3 +121,67 @@ class TestZipReader:
         out = zipreader.imread(f"{zpath}@x/img.png")
         np.testing.assert_array_equal(out, img)
         zipreader.close_all()
+
+
+class TestFileIO:
+    def test_local_roundtrip(self, tmp_path):
+        from spacecraft_pose_estimation_tpu.utils.file_io import PathManager
+
+        p = str(tmp_path / "sub" / "x.txt")
+        with PathManager.open(p, "w") as f:  # mkdirs on write
+            f.write("hello")
+        assert PathManager.exists(p) and PathManager.isfile(p)
+        with PathManager.open(p) as f:
+            assert f.read() == "hello"
+        assert PathManager.ls(str(tmp_path / "sub")) == ["x.txt"]
+
+    def test_zip_scheme(self, tmp_path):
+        import zipfile
+
+        from spacecraft_pose_estimation_tpu.utils.file_io import PathManager
+
+        arch = str(tmp_path / "a.zip")
+        with zipfile.ZipFile(arch, "w") as z:
+            z.writestr("inner/data.txt", "zipped")
+        uri = f"zip://{arch}!inner/data.txt"
+        assert PathManager.exists(uri)
+        with PathManager.open(uri) as f:
+            assert f.read() == "zipped"
+        assert not PathManager.exists(f"zip://{arch}!missing")
+
+    def test_spe_scheme(self):
+        from spacecraft_pose_estimation_tpu.utils.file_io import PathManager
+
+        assert PathManager.exists("spe://utils/file_io.py")
+        local = PathManager.get_local_path("spe://utils/file_io.py")
+        assert local.endswith("utils/file_io.py")
+
+
+class TestSerialize:
+    def test_picklable_wrapper_lambda(self):
+        import pickle
+
+        from spacecraft_pose_estimation_tpu.utils.serialize import PicklableWrapper
+
+        w = PicklableWrapper(lambda x: x * 3)
+        w2 = pickle.loads(pickle.dumps(w))
+        assert w2(7) == 21
+
+    def test_robust_dumps_closure(self):
+        from spacecraft_pose_estimation_tpu.utils.serialize import (
+            robust_dumps,
+            robust_loads,
+        )
+
+        k = 5
+        fn = robust_loads(robust_dumps(lambda x: x + k))
+        assert fn(1) == 6
+
+
+class TestCollectEnv:
+    def test_report_has_core_rows(self):
+        from spacecraft_pose_estimation_tpu.utils.collect_env import collect_env_info
+
+        info = collect_env_info()
+        for key in ("jax", "numpy", "Python", "devices"):
+            assert key in info, info
