@@ -33,7 +33,12 @@ REF_LM = "/root/reference/landmark_regression"
 REF_POSE = "/root/reference/pose_estimation"
 
 J = 16  # craft_geometry landmarks
-W, H = 1280, 720
+# 854x480 rather than the reference's 1280x720: the emulator+renderer
+# holds (frames, max_iters, H, W) dense event maps on-device, and
+# 240x8x720x1280xf32 = 6.6 GB temp OOMs the 16 GB chip next to the
+# frame stack; 480p keeps the identical pipeline at a 3.1 GB peak.
+# The landmark stage is scale-free (bbox crops resample to 512^2).
+W, H = 854, 480
 T0 = time.time()
 
 
