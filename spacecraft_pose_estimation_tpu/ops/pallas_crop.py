@@ -62,11 +62,16 @@ def _effective_window(h: int, w: int, window: tuple[int, int]) -> tuple[int, int
 
 
 def clamp_scales_to_window(
-    scales: Array, out_size: tuple[int, int], window: tuple[int, int]
+    scales: Array, out_size: tuple[int, int], window: tuple[int, int],
+    coverage: tuple[int, int] | None = None,
 ) -> Array:
     """Shrink (B, 2) scales so the square src crop (side scale[...,0]*200,
-    aspect dst_h/dst_w) fits the window's guaranteed coverage."""
-    cov_h, cov_w = window_coverage(window)
+    aspect dst_h/dst_w) fits the window's guaranteed coverage.
+
+    coverage: override the usable (h, w). Default = this DMA kernel's
+    alignment-slack coverage; the XLA dynamic_slice window path uses the
+    full window minus a 2 px rounding+bilinear-tap margin."""
+    cov_h, cov_w = coverage if coverage is not None else window_coverage(window)
     out_w, out_h = out_size
     # src extent: x = s0*200, y = s0*200*(out_h/out_w)
     smax_x = cov_w / geometry.PIXEL_STD

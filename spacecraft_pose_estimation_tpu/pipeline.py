@@ -51,6 +51,10 @@ class PipelineConfig:
     # the window coverage are tightened (clamp_scales_to_window).
     # None = full-frame path (exact for any box).
     crop_window: tuple[int, int] | None = None
+    # 'xla': dynamic_slice the window then separable-MXU warp it
+    # (ops/warp.crop_and_resize_mxu_windowed); 'pallas': the in-kernel
+    # DMA pooler window (ops/pallas_crop.py). Same clamp contract.
+    crop_window_impl: str = "xla"
 
 
 def normalize_crops(crops: Array) -> Array:
@@ -79,15 +83,28 @@ def make_landmark_stage(model, config: PipelineConfig = PipelineConfig()):
         if config.crop_window is not None:
             from .ops import pallas_crop
 
+            cov = (
+                (config.crop_window[0] - 2, config.crop_window[1] - 2)
+                if config.crop_window_impl == "xla" else None
+            )
             scales = pallas_crop.clamp_scales_to_window(
-                scales, config.image_size, config.crop_window
+                scales, config.image_size, config.crop_window, coverage=cov
             )
-            crops = pallas_crop.crop_and_resize_window(
-                frames, centers, scales, config.image_size, config.crop_window,
-                # the windowed kernel contracts in bf16; int8 taps apply
-                # to the full-frame path only
-                compute_dtype=jnp.bfloat16 if wdtype == jnp.int8 else (wdtype or jnp.float32),
-            )
+            # both windowed paths contract in bf16 at most; int8 taps
+            # apply to the full-frame path only
+            wd = jnp.bfloat16 if wdtype == jnp.int8 else (wdtype or jnp.float32)
+            if config.crop_window_impl == "xla":
+                win = max(int(config.crop_window[0]), int(config.crop_window[1]))
+                crops = jax.vmap(
+                    lambda im, c, s: warp.crop_and_resize_mxu_windowed(
+                        im, c, s, config.image_size, win, compute_dtype=wd
+                    )
+                )(frames, centers, scales)
+            else:
+                crops = pallas_crop.crop_and_resize_window(
+                    frames, centers, scales, config.image_size, config.crop_window,
+                    compute_dtype=wd,
+                )
         else:
             # Inference never rotates -> separable MXU crop (TPU gathers
             # are ~100x slower; see ops/warp.crop_and_resize_mxu).

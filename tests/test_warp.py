@@ -142,3 +142,61 @@ class TestInt8Crop:
         assert float(jnp.max(jnp.abs(got - exact))) < 2.5
         # outside-the-image quadrant is (near) zero, not 128-shifted
         assert float(jnp.max(jnp.abs(got[:10, :10]))) < 1.5
+
+
+class TestWindowedMxuCrop:
+    """crop_and_resize_mxu_windowed == full-frame crop_and_resize_mxu
+    exactly (f32) whenever the crop extent fits the window — including
+    boxes at the frame border (both paths then sample the zero border)."""
+
+    def test_matches_fullframe_exact(self):
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.integers(0, 255, (120, 192, 3)), jnp.float32)
+        cases = [
+            (jnp.array([96.0, 60.0]), jnp.array([0.3, 0.25])),   # center
+            (jnp.array([10.0, 12.0]), jnp.array([0.25, 0.25])),  # corner
+            (jnp.array([180.0, 110.0]), jnp.array([0.3, 0.3])),  # far corner
+            (jnp.array([96.0, 5.0]), jnp.array([0.2, 0.2])),     # top edge
+        ]
+        for center, scale in cases:
+            full = W.crop_and_resize_mxu(img, center, scale, (64, 64))
+            win = W.crop_and_resize_mxu_windowed(
+                img, center, scale, (64, 64), window=80
+            )
+            # different contraction extents reassociate fp sums; 1e-2
+            # grey levels is far below the bf16 serving path's own error
+            np.testing.assert_allclose(np.asarray(win), np.asarray(full),
+                                       rtol=1e-4, atol=1e-2)
+
+    def test_pipeline_xla_window_matches_fullframe(self):
+        """The serving pipeline's crop_window xla path reproduces the
+        full-frame path bit-tight when boxes fit the window."""
+        from spacecraft_pose_estimation_tpu.models.hrnet import HRNET_TINY, HRNet
+        from spacecraft_pose_estimation_tpu.pipeline import (
+            PipelineConfig,
+            make_landmark_stage,
+        )
+        import dataclasses as dc
+
+        import jax
+
+        rng = np.random.default_rng(1)
+        model = HRNet(config=dc.replace(HRNET_TINY, num_joints=4))
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                               train=False)
+        frames = jnp.asarray(rng.integers(0, 255, (2, 120, 192, 3)), jnp.uint8)
+        boxes = jnp.asarray([[60.0, 30.0, 50.0, 40.0], [10.0, 8.0, 40.0, 36.0]])
+        base = dict(image_size=(64, 64), solver="none", warp_dtype="float32")
+        full = make_landmark_stage(model, PipelineConfig(**base))(
+            variables, frames, boxes
+        )
+        windowed = make_landmark_stage(
+            model, PipelineConfig(**base, crop_window=(96, 96),
+                                  crop_window_impl="xla")
+        )(variables, frames, boxes)
+        np.testing.assert_allclose(np.asarray(windowed["keypoints"]),
+                                   np.asarray(full["keypoints"]),
+                                   rtol=1e-3, atol=0.05)
+        np.testing.assert_allclose(np.asarray(windowed["confidence"]),
+                                   np.asarray(full["confidence"]),
+                                   rtol=1e-3, atol=1e-3)
