@@ -116,6 +116,11 @@ class TrainCfg:
     nesterov: bool = False
     shuffle: bool = True
     auto_resume: bool = True
+    # checkpoint every N epochs (the reference saves every epoch —
+    # lib/utils/utils.py save_checkpoint per train.py:183-211 — which is
+    # the parity default; the best/ checkpoint and the final save are
+    # unconditional, so raising this only thins the periodic snapshots)
+    checkpoint_period: int = 1
     # adversarial
     d_loss_mode: int = 1
     beta: float = 0.0002

@@ -134,7 +134,10 @@ def main():
         )
         for w in writers:
             w.write(storage)
-        mgr.save(int(state.step), state, {"epoch": epoch})
+        if (epoch + 1) % max(cfg.train.checkpoint_period, 1) == 0 or (
+            epoch == cfg.train.end_epoch - 1
+        ):
+            mgr.save(int(state.step), state, {"epoch": epoch})
         if val_examples is not None:
             preds = landmark_loop.validate(
                 model,
