@@ -72,11 +72,16 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
 PEAK_BF16_TFLOPS = 197.0
 PEAK_INT8_TOPS = 394.0
 
-# Windowed DMA crop measured SLOWER than the full-frame contraction on
-# v5e (DMA row-overhead + VMEM ceilings), and int8 taps measured slower
-# than bf16 (9.6 vs 7.9 ms/b128 — the int32 intermediate doubles HBM
-# traffic; probe_r3d). Serving crop = full-frame separable bf16 warp.
-CROP_WINDOW = None
+# The PALLAS windowed DMA crop measured SLOWER than the full-frame
+# contraction on v5e (DMA row-overhead + VMEM ceilings), and int8 taps
+# measured slower than bf16 (9.6 vs 7.9 ms/b128 — the int32
+# intermediate doubles HBM traffic; probe_r3d). The XLA windowed crop
+# (dynamic_slice + separable warp, ops/warp.crop_and_resize_mxu_windowed)
+# cuts the crop contraction ~3.4x instead; BENCH_CROP_WINDOW=<px>
+# selects it (0/unset = full-frame). Exact for padded crops up to
+# (window-2) px — the default serving box is 750 px, so 768 covers it.
+_win = int(os.environ.get("BENCH_CROP_WINDOW", "0"))
+CROP_WINDOW = (_win, _win) if _win else None
 WARP_DTYPE = "bfloat16"
 
 
