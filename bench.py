@@ -164,9 +164,12 @@ def build(batch, mode="int8"):
         q = quantize_hrnet(model, variables, calib, s2d=False)
         # BENCH_FOLD: 1 = fold residual adds into conv epilogues,
         # 2 = also fold the fuse-up path (see hrnet_int8.fold_residual)
+        # BENCH_MERGE_FUSE=1: concatenate same-source fuse-exchange
+        # convs into full-lane convs (hrnet_int8.merge_fuse, bit-exact)
         fold = int(os.environ.get("BENCH_FOLD", "0"))
         serving_model = HRNetInt8(
-            model.config, fold_residual=fold >= 1, fold_fuse_up=fold >= 2
+            model.config, fold_residual=fold >= 1, fold_fuse_up=fold >= 2,
+            merge_fuse=os.environ.get("BENCH_MERGE_FUSE") == "1",
         )
         serving_vars = q
     else:

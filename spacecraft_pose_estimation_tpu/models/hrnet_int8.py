@@ -25,6 +25,7 @@ same walk, so the two can never drift structurally.
 from __future__ import annotations
 
 import os
+import re
 from typing import Any, NamedTuple
 
 import jax
@@ -151,11 +152,22 @@ class _Int8Ops:
                  fused_even3: bool | None = None,
                  fused_min_width: int | None = None,
                  fold_residual: bool = False,
-                 fold_fuse_up: bool = False):
+                 fold_fuse_up: bool = False,
+                 merge_fuse: bool = False):
         self.q = q
         self.x = x
         self.in_scale = in_scale
         self.fused_blocks = fused_blocks
+        # merge_fuse: concatenate same-source fuse-exchange convs (the
+        # up{i}_{j} 1x1s and down{i}_{j}_0 stride-2 3x3s that all read
+        # branch j) into one full(er)-lane conv + static output slices.
+        # The 32/64-out-lane sites are under the 128-lane MXU tile; the
+        # merged conv runs at 96-224 lanes and reads the source
+        # activation from HBM once instead of per-target. Bit-exact vs
+        # the per-op walk (probe_r11). Mutually exclusive with
+        # s2d/fold_residual, which re-route the same sites.
+        self.merge_fuse = merge_fuse
+        self._merge_cache: dict[str, _Handle] = {}
         # fold_fuse_up: also hand the fuse-layer up-1x1 conv outputs to
         # their adds as pre-round f32 THROUGH the nearest upsample — the
         # upsample is a broadcast+reshape XLA fuses into the add's read,
@@ -346,6 +358,10 @@ class _Int8Ops:
         )
 
     def convbn(self, name, h, stride, relu):
+        if self.merge_fuse:
+            mh = self._merged_fuse_conv(name, h, stride, relu)
+            if mh is not None:
+                return mh
         if self.s2d:
             c2 = self.q["convs_s2d"].get(name)
             if c2 is not None:
@@ -375,6 +391,65 @@ class _Int8Ops:
         return _Handle(
             jnp.clip(jnp.round(f), -127, 127).astype(jnp.int8), None, name
         )
+
+    _UP_RE = re.compile(r"^(?P<p>.+)/fuse/up(?P<i>\d+)_(?P<j>\d+)$")
+    _DN0_RE = re.compile(r"^(?P<p>.+)/fuse/down(?P<i>\d+)_(?P<j>\d+)_0$")
+
+    def _merged_fuse_conv(self, name, h, stride, relu):
+        """One concatenated conv for all fuse convs reading branch j.
+
+        Bit-exact vs the per-op walk: each output channel keeps its own
+        int32 accumulation and requant scale/bias; a family's mixed relu
+        flags (a down chain's k=0 conv is relu unless it is also the
+        last) become a per-channel lower clip bound — relu-before-round
+        equals clip-at-0-after-round (only the sign matters).
+        Returns None (fall through to the per-op path) for non-fuse
+        sites, single-member families, and the s2d/fold_residual modes
+        that re-route these sites."""
+        if self.s2d or self.fold_residual or h.layout != "std":
+            return None
+        cached = self._merge_cache.get(name)
+        if cached is not None:
+            return cached
+        m_up = self._UP_RE.match(name)
+        m_dn = None if m_up else self._DN0_RE.match(name)
+        m = m_up or m_dn
+        if m is None:
+            return None
+        p, j = m.group("p"), int(m.group("j"))
+        if m_up:
+            fam = [(f"{p}/fuse/up{i}_{j}", False) for i in range(j)
+                   if f"{p}/fuse/up{i}_{j}" in self.q["convs"]]
+        else:
+            fam = [(f"{p}/fuse/down{i}_{j}_0", i - j > 1)
+                   for i in range(j + 1, j + 9)
+                   if f"{p}/fuse/down{i}_{j}_0" in self.q["convs"]]
+        if len(fam) < 2:
+            return None
+        assert dict(fam)[name] == relu, (name, relu)
+        convs = [self.q["convs"][s] for s, _ in fam]
+        wcat = jnp.concatenate([c["w8"] for c in convs], axis=-1)
+        mcat = jnp.concatenate([c["m"] for c in convs])
+        bcat = jnp.concatenate([c["b"] for c in convs])
+        lo = jnp.concatenate([
+            jnp.full(c["w8"].shape[-1], 0.0 if r else -127.0, jnp.float32)
+            for c, (_, r) in zip(convs, fam)
+        ])
+        k = wcat.shape[0]
+        y = jax.lax.conv_general_dilated(
+            h.value, wcat, (stride, stride), [(k // 2, k // 2)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        q8 = jnp.clip(
+            jnp.round(y.astype(jnp.float32) * mcat + bcat), lo, 127.0
+        ).astype(jnp.int8)
+        off = 0
+        for (s, _), c in zip(fam, convs):
+            n = c["w8"].shape[-1]
+            self._merge_cache[s] = _Handle(q8[..., off:off + n], None, s)
+            off += n
+        return self._merge_cache[name]
 
     def _requant(self, h):
         """Round a pre-round f32pre handle back to int8 (safety net for
@@ -720,6 +795,7 @@ def hrnet_int8_apply(
     s2d: bool | None = None, layer1_strips: bool | None = None,
     fused_even3: bool | None = None, fused_min_width: int | None = None,
     fold_residual: bool = False, fold_fuse_up: bool = False,
+    merge_fuse: bool = False,
 ) -> jnp.ndarray:
     """int8 forward. ``x``: (B, H, W, 3) normalized f32 (same contract as
     the bf16 model). Returns f32 heatmaps (B, H/4, W/4, J).
@@ -738,7 +814,8 @@ def hrnet_int8_apply(
     ops = _Int8Ops(q, x, q["in_scale"], fused_blocks=fused_blocks, s2d=s2d,
                    layer1_strips=layer1_strips, fused_even3=fused_even3,
                    fused_min_width=fused_min_width,
-                   fold_residual=fold_residual, fold_fuse_up=fold_fuse_up)
+                   fold_residual=fold_residual, fold_fuse_up=fold_fuse_up,
+                   merge_fuse=merge_fuse)
     return _forward(ops, cfg, x)
 
 
@@ -752,7 +829,8 @@ class HRNetInt8:
                  fused_even3: bool | None = None,
                  fused_min_width: int | None = None,
                  fold_residual: bool = False,
-                 fold_fuse_up: bool = False):
+                 fold_fuse_up: bool = False,
+                 merge_fuse: bool = False):
         self.config = config
         self.fused_blocks = fused_blocks
         self.s2d = s2d
@@ -761,6 +839,7 @@ class HRNetInt8:
         self.fused_min_width = fused_min_width
         self.fold_residual = fold_residual
         self.fold_fuse_up = fold_fuse_up
+        self.merge_fuse = merge_fuse
 
     def apply(self, q, x, train: bool = False):
         del train  # inference-only
@@ -769,4 +848,5 @@ class HRNetInt8:
             layer1_strips=self.layer1_strips, fused_even3=self.fused_even3,
             fused_min_width=self.fused_min_width,
             fold_residual=self.fold_residual, fold_fuse_up=self.fold_fuse_up,
+            merge_fuse=self.merge_fuse,
         )

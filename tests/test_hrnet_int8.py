@@ -200,6 +200,36 @@ def test_s2d_sites_cover_branch0(tiny_setup):
             assert name in sites, name
 
 
+@pytest.mark.smoke
+def test_merge_fuse_bit_exact(tiny_setup):
+    """merge_fuse concatenates same-source fuse-exchange convs into one
+    conv + static slices — pure op packing, so the walk must equal the
+    standard int8 walk EXACTLY (per-channel accumulate/requant unchanged,
+    mixed relu handled as a per-channel lower clip bound)."""
+    model, variables, q, rng = tiny_setup
+    x = jnp.asarray(rng.normal(0, 1.2, (2, 64, 64, 3)), jnp.float32)
+    std = np.asarray(hrnet_int8_apply(model.config, q, x, s2d=False))
+    merged = np.asarray(
+        hrnet_int8_apply(model.config, q, x, s2d=False, merge_fuse=True)
+    )
+    np.testing.assert_array_equal(merged, std)
+    # the tiny config's stage3 exchange has real >=2-member families
+    # (ups j=2: {up0_2, up1_2}; downs j=0: {down1_0_0, down2_0_0}) — make
+    # sure the merge path actually fired rather than falling through
+    from spacecraft_pose_estimation_tpu.models.hrnet_int8 import (
+        _Handle,
+        _Int8Ops,
+    )
+
+    ops = _Int8Ops(q, x, q["in_scale"], s2d=False, merge_fuse=True)
+    got = ops._merged_fuse_conv(
+        "stage3_m0/fuse/up0_2",
+        _Handle(jnp.zeros((1, 16, 16, 16), jnp.int8), None, "t", "std"),
+        1, False,
+    )
+    assert got is not None and len(ops._merge_cache) >= 2
+
+
 def test_fold_residual_close_to_walk_and_f32(tiny_setup):
     """fold_residual skips the int8 materialization between a conv and
     its residual add (the add consumes the pre-round f32 epilogue). Not
