@@ -1,0 +1,79 @@
+"""Model-level merge_fuse A/B (the probe_r7 standard of proof).
+
+probe_r11 bounds the win at isolated shapes; this times the FULL W32
+int8 forward at the serving batch with merge_fuse off/on. The micro win
+only counts if it survives composition (the r7 fold_residual lesson:
+XLA re-schedules intermediates inside existing fusions, so isolated
+wins can evaporate or invert).
+
+Usage: python devbench/probe_r12_mergefuse_model.py [batch]
+"""
+
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from spacecraft_pose_estimation_tpu.models.hrnet import HRNet, POSE_HRNET_W32
+from spacecraft_pose_estimation_tpu.models.hrnet_int8 import (
+    hrnet_int8_apply,
+    quantize_hrnet,
+)
+from spacecraft_pose_estimation_tpu.pipeline import normalize_crops
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+
+model = HRNet(config=POSE_HRNET_W32.with_joints(11), dtype=jnp.bfloat16)
+variables = jax.jit(
+    lambda k: model.init(k, jnp.zeros((1, 512, 512, 3)), train=False)
+)(jax.random.key(0))
+rng = np.random.default_rng(0)
+calib = normalize_crops(
+    jnp.asarray(rng.integers(0, 255, size=(4, 512, 512, 3)), jnp.float32)
+)
+q = quantize_hrnet(model, variables, calib, s2d=False)
+x = normalize_crops(
+    jnp.asarray(rng.integers(0, 255, size=(B, 512, 512, 3)), jnp.float32)
+)
+
+
+def mk(merge):
+    @partial(jax.jit, static_argnames="n")
+    def rep(q, x, n):
+        def body(c, _):
+            out = hrnet_int8_apply(
+                model.config, q, x + c * 1e-20, merge_fuse=merge
+            )
+            return c + jnp.sum(out[0, 0, 0]) * 1e-20, None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return c
+
+    return rep
+
+
+for merge in (False, True):
+    rep = mk(merge)
+    t0 = time.time()
+    lo = rep.lower(q, x, 1).compile()
+    hi = rep.lower(q, x, 6).compile()
+    print(f"[merge={merge}] compiled in {time.time()-t0:.0f}s", flush=True)
+
+    def timed(e):
+        t0 = time.perf_counter()
+        float(e(q, x))
+        return time.perf_counter() - t0
+
+    timed(lo); timed(hi)
+    t1 = min(timed(lo) for _ in range(3))
+    t6 = min(timed(hi) for _ in range(3))
+    dt = (t6 - t1) / 5
+    print(f"[merge={merge}] {dt*1e3:.2f} ms/b{B}  "
+          f"{B/dt:.1f} fps model-only", flush=True)

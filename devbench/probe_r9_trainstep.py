@@ -111,6 +111,19 @@ def flops_of(exe):
         return 0.0
 
 
+def mem_of(exe):
+    """Peak temp-allocation estimate (bytes) — tells whether the step is
+    anywhere near the 16 GB HBM spill regime (remat would only matter
+    there)."""
+    try:
+        ma = exe.memory_analysis()
+        return int(getattr(ma, "temp_size_in_bytes", 0)), int(
+            getattr(ma, "argument_size_in_bytes", 0)
+        )
+    except Exception:
+        return 0, 0
+
+
 for kind in ("fwd", "bb_frozen", "full"):
     rep = mk(kind)
     t0 = time.time()
@@ -128,5 +141,7 @@ for kind in ("fwd", "bb_frozen", "full"):
     t4 = min(timed(hi) for _ in range(3))
     dt = (t4 - t1) / 3
     fl = flops_of(hi)
+    tmp, arg = mem_of(hi)
     print(f"[{kind}] {dt*1e3:.1f} ms/step  {B/dt:.1f} im/s  "
-          f"{fl/1e12:.2f} TF/step  {fl/dt/1e12:.1f} TF/s", flush=True)
+          f"{fl/1e12:.2f} TF/step  {fl/dt/1e12:.1f} TF/s  "
+          f"temp {tmp/2**30:.2f} GiB  args {arg/2**30:.2f} GiB", flush=True)
