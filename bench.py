@@ -167,9 +167,12 @@ def build(batch, mode="int8"):
         # BENCH_MERGE_FUSE=1: concatenate same-source fuse-exchange
         # convs into full-lane convs (hrnet_int8.merge_fuse, bit-exact)
         fold = int(os.environ.get("BENCH_FOLD", "0"))
+        # BENCH_NORMFOLD=1: fold ImageNet normalize into stem1 weights
+        # (raw-crop input — saves the f32 normalized-crop HBM round trip)
         serving_model = HRNetInt8(
             model.config, fold_residual=fold >= 1, fold_fuse_up=fold >= 2,
             merge_fuse=os.environ.get("BENCH_MERGE_FUSE") == "1",
+            fold_normalize=os.environ.get("BENCH_NORMFOLD") == "1",
         )
         serving_vars = q
     else:
@@ -292,7 +295,8 @@ def build_full_path(det_batch=8, det_every=16, det_kind=None):
     q_vars = quantize_hrnet(lm_model, lm_vars, calib, s2d=False)
     fold_lm = int(os.environ.get("BENCH_FOLD", "0"))
     serving_lm = HRNetInt8(
-        lm_model.config, fold_residual=fold_lm >= 1, fold_fuse_up=fold_lm >= 2
+        lm_model.config, fold_residual=fold_lm >= 1, fold_fuse_up=fold_lm >= 2,
+        fold_normalize=os.environ.get("BENCH_NORMFOLD") == "1",
     )
 
     lm3d = rng.normal(size=(num_joints, 3)).astype(np.float32)

@@ -107,6 +107,25 @@ class _QuantizeOps:
             "m": jnp.asarray(np.full(w.shape[-1], 1.0 / s_out), jnp.float32),
             "b": jnp.asarray(beta / s_out, jnp.float32),
         }
+        if name == "stem1":
+            # Normalize-folded variant: consumes raw [0,255] crops, the
+            # ImageNet (x-mean)/std absorbed into weights/bias. Interior
+            # outputs match the normalized path to bf16 rounding; only
+            # the 1-px zero-pad border ring changes meaning (raw-black
+            # vs mean-gray). Executed when fold_normalize=True; stored
+            # under its own key so a flag/tree mismatch raises KeyError
+            # instead of silently mis-scaling.
+            from ..pipeline import IMAGENET_MEAN, IMAGENET_STD
+
+            mean = np.asarray(IMAGENET_MEAN, np.float32) * 255.0
+            std = np.asarray(IMAGENET_STD, np.float32) * 255.0
+            wr = w / std[None, None, :, None]
+            br = beta - (wr * mean[None, None, :, None]).sum((0, 1, 2))
+            self.q.setdefault("convs_raw", {})[name] = {
+                "w_bf16": jnp.asarray(wr, jnp.bfloat16),
+                "m": jnp.asarray(np.full(w.shape[-1], 1.0 / s_out), jnp.float32),
+                "b": jnp.asarray(br / s_out, jnp.float32),
+            }
         return _Handle(None, s_out, name)
 
     def convbn(self, name, h, stride, relu):
@@ -153,10 +172,14 @@ class _Int8Ops:
                  fused_min_width: int | None = None,
                  fold_residual: bool = False,
                  fold_fuse_up: bool = False,
-                 merge_fuse: bool = False):
+                 merge_fuse: bool = False,
+                 fold_normalize: bool = False):
         self.q = q
         self.x = x
         self.in_scale = in_scale
+        # fold_normalize: stem1 executes the 'stem1_raw' weights (ImageNet
+        # normalize folded in); ``x`` must then be RAW [0,255] crops.
+        self.fold_normalize = fold_normalize
         self.fused_blocks = fused_blocks
         # merge_fuse: concatenate same-source fuse-exchange convs (the
         # up{i}_{j} 1x1s and down{i}_{j}_0 stride-2 3x3s that all read
@@ -344,7 +367,7 @@ class _Int8Ops:
         return _Handle(self.x, None, "input")
 
     def stem_conv_bf16(self, name, h):
-        c = self.q["convs"][name]
+        c = (self.q["convs_raw"] if self.fold_normalize else self.q["convs"])[name]
         y = jax.lax.conv_general_dilated(
             h.value.astype(jnp.bfloat16),
             c["w_bf16"],
@@ -795,10 +818,13 @@ def hrnet_int8_apply(
     s2d: bool | None = None, layer1_strips: bool | None = None,
     fused_even3: bool | None = None, fused_min_width: int | None = None,
     fold_residual: bool = False, fold_fuse_up: bool = False,
-    merge_fuse: bool = False,
+    merge_fuse: bool = False, fold_normalize: bool = False,
 ) -> jnp.ndarray:
     """int8 forward. ``x``: (B, H, W, 3) normalized f32 (same contract as
-    the bf16 model). Returns f32 heatmaps (B, H/4, W/4, J).
+    the bf16 model), or RAW [0,255] crops when ``fold_normalize=True``
+    (the ImageNet normalize is folded into stem1's bf16 weights — saves
+    the f32 normalized-crop HBM round trip in serving).
+    Returns f32 heatmaps (B, H/4, W/4, J).
 
     fused_blocks: run each module-branch's BasicBlock chain as one
     Pallas kernel; default = on when the first device is a TPU (the
@@ -815,7 +841,7 @@ def hrnet_int8_apply(
                    layer1_strips=layer1_strips, fused_even3=fused_even3,
                    fused_min_width=fused_min_width,
                    fold_residual=fold_residual, fold_fuse_up=fold_fuse_up,
-                   merge_fuse=merge_fuse)
+                   merge_fuse=merge_fuse, fold_normalize=fold_normalize)
     return _forward(ops, cfg, x)
 
 
@@ -830,7 +856,8 @@ class HRNetInt8:
                  fused_min_width: int | None = None,
                  fold_residual: bool = False,
                  fold_fuse_up: bool = False,
-                 merge_fuse: bool = False):
+                 merge_fuse: bool = False,
+                 fold_normalize: bool = False):
         self.config = config
         self.fused_blocks = fused_blocks
         self.s2d = s2d
@@ -840,6 +867,13 @@ class HRNetInt8:
         self.fold_residual = fold_residual
         self.fold_fuse_up = fold_fuse_up
         self.merge_fuse = merge_fuse
+        self.fold_normalize = fold_normalize
+
+    @property
+    def consumes_raw_pixels(self) -> bool:
+        """True when apply() expects raw [0,255] crops (normalize folded
+        into stem1); the pipeline skips normalize_crops accordingly."""
+        return self.fold_normalize
 
     def apply(self, q, x, train: bool = False):
         del train  # inference-only
@@ -848,5 +882,5 @@ class HRNetInt8:
             layer1_strips=self.layer1_strips, fused_even3=self.fused_even3,
             fused_min_width=self.fused_min_width,
             fold_residual=self.fold_residual, fold_fuse_up=self.fold_fuse_up,
-            merge_fuse=self.merge_fuse,
+            merge_fuse=self.merge_fuse, fold_normalize=self.fold_normalize,
         )

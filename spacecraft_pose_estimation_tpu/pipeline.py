@@ -112,7 +112,12 @@ def make_landmark_stage(model, config: PipelineConfig = PipelineConfig()):
                 frames, centers, scales, rots, config.image_size, method="mxu",
                 compute_dtype=wdtype,
             )
-        inputs = normalize_crops(crops)
+        if getattr(model, "consumes_raw_pixels", False):
+            # normalize is folded into the model's stem weights
+            # (hrnet_int8.fold_normalize) — feed raw [0,255] crops.
+            inputs = crops
+        else:
+            inputs = normalize_crops(crops)
         heatmaps = model.apply(variables, inputs, train=False)
         preds, maxvals = heatmap.decode_heatmaps(
             heatmaps, centers, scales, post_process=config.post_process

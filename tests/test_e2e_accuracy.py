@@ -56,7 +56,10 @@ def make_dataset(n, rng):
 
 
 def pose_errors(model, variables, frames, lm, K, Rs_gt, ts_gt):
-    hm = model.apply(variables, normalize_crops(jnp.asarray(frames)), train=False)
+    x = jnp.asarray(frames)
+    if not getattr(model, "consumes_raw_pixels", False):
+        x = normalize_crops(x)
+    hm = model.apply(variables, x, train=False)
     centers = jnp.tile(jnp.asarray([[SIZE / 2, SIZE / 2]]), (len(frames), 1))
     scales = jnp.tile(jnp.asarray([[SIZE / 200.0, SIZE / 200.0]]), (len(frames), 1))
     preds, conf = hm_ops.decode_heatmaps(hm, centers, scales)
@@ -156,3 +159,14 @@ def test_training_improves_pose_error():
     )
     assert rot_f <= rot1 * 1.01 + 0.5, (rot1, rot_f)
     assert terr_f <= terr1 * 1.01 + 0.005, (terr1, terr_f)
+
+    # the NORMALIZE-FOLDED executor (BENCH_NORMFOLD: raw [0,255] crops,
+    # ImageNet normalize absorbed into stem1 weights) carries the same
+    # pose-error budget — interior-exact to bf16 rounding, but the
+    # stem's zero-pad border ring changes meaning.
+    rot_nf, terr_nf = pose_errors(
+        HRNetInt8(model.config, fold_normalize=True),
+        q_nos2d, test_frames, test_lm, test_K, test_R, test_t,
+    )
+    assert rot_nf <= rot1 * 1.01 + 0.5, (rot1, rot_nf)
+    assert terr_nf <= terr1 * 1.01 + 0.005, (terr1, terr_nf)

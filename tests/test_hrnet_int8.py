@@ -12,6 +12,7 @@ from spacecraft_pose_estimation_tpu.models.hrnet import (
     POSE_HRNET_W32,
 )
 from spacecraft_pose_estimation_tpu.models.hrnet_int8 import (
+    HRNetInt8,
     hrnet_int8_apply,
     quantize_hrnet,
 )
@@ -288,3 +289,52 @@ def test_fold_fuse_up_close_to_walk(tiny_setup):
     assert np.corrcoef(fold.ravel(), ref_f32.ravel())[0, 1] > 0.97
     assert np.abs(fold - walk).max() / scale < 0.1
     assert np.corrcoef(fold.ravel(), walk.ravel())[0, 1] > 0.995
+
+
+def test_fold_normalize_close_to_standard_walk(tiny_setup):
+    """fold_normalize absorbs ImageNet (x-mean)/std into stem1's bf16
+    weights so the model consumes raw [0,255] crops (saves the f32
+    normalized-crop HBM round trip in serving). Interior stem outputs
+    match to bf16 rounding; only the 1-px zero-pad ring changes meaning
+    (raw-black vs mean-gray) — so assert closeness, not bit equality."""
+    from spacecraft_pose_estimation_tpu.pipeline import normalize_crops
+
+    model, variables, q, rng = tiny_setup
+    raw = jnp.asarray(rng.uniform(0, 255, (2, 64, 64, 3)), jnp.float32)
+    std_walk = np.asarray(
+        hrnet_int8_apply(model.config, q, normalize_crops(raw), s2d=False)
+    )
+    folded = np.asarray(
+        hrnet_int8_apply(model.config, q, raw, s2d=False, fold_normalize=True)
+    )
+    scale = np.abs(std_walk).max() + 1e-9
+    assert np.abs(folded - std_walk).max() / scale < 0.1
+    assert np.corrcoef(folded.ravel(), std_walk.ravel())[0, 1] > 0.995
+
+
+def test_fold_normalize_pipeline_feeds_raw_crops(tiny_setup):
+    """make_landmark_stage must skip normalize_crops when the model
+    declares consumes_raw_pixels, and decode keypoints close to the
+    standard int8 path's."""
+    from spacecraft_pose_estimation_tpu.pipeline import (
+        PipelineConfig,
+        make_landmark_stage,
+    )
+
+    model, variables, q, _ = tiny_setup
+    rng = np.random.default_rng(42)
+    frames = jnp.asarray(rng.uniform(0, 255, (2, 96, 96, 3)), jnp.float32)
+    boxes = jnp.asarray([[16.0, 16.0, 64.0, 64.0]] * 2)
+    cfg = PipelineConfig(image_size=(64, 64), solver="none")
+    std_stage = make_landmark_stage(HRNetInt8(model.config), cfg)
+    nf_stage = make_landmark_stage(
+        HRNetInt8(model.config, fold_normalize=True), cfg
+    )
+    out_std = std_stage(q, frames, boxes)
+    out_nf = nf_stage(q, frames, boxes)
+    # near-identical heatmaps. (Decoded keypoints are NOT compared:
+    # argmax over an untrained net's near-flat noise is chaotic; the
+    # trained-net pose-error budget lives in test_e2e_accuracy.)
+    hs = np.asarray(out_std["heatmaps"])
+    hn = np.asarray(out_nf["heatmaps"])
+    assert np.corrcoef(hs.ravel(), hn.ravel())[0, 1] > 0.995
