@@ -39,6 +39,13 @@ J = 16  # craft_geometry landmarks
 # frame stack; 480p keeps the identical pipeline at a 3.1 GB peak.
 # The landmark stage is scale-free (bbox crops resample to 512^2).
 W, H = 854, 480
+# Micro-scale knobs for mechanics validation (e.g. a CPU dry run with
+# SPE_PLATFORM=cpu): shrink the scene and the schedule without touching
+# the real-run defaults.
+N_FRAMES = int(os.environ.get("R4ACC_FRAMES", "240"))
+EPOCHS = int(os.environ.get("R4ACC_EPOCHS", "0"))  # 0 = preset default (40)
+if os.environ.get("R4ACC_SIZE"):
+    W, H = (int(v) for v in os.environ["R4ACC_SIZE"].split("x"))
 T0 = time.time()
 
 
@@ -68,7 +75,7 @@ def ref_env():
 def stage_data(work):
     scene = os.path.join(work, "scene")
     run([sys.executable, os.path.join(TOOLS, "make_synthetic_scene.py"), "render",
-         "--output-dir", scene, "--num-frames", "240",
+         "--output-dir", scene, "--num-frames", str(N_FRAMES),
          "--width", str(W), "--height", str(H)])
     events = os.path.join(work, "events")
     run([sys.executable, os.path.join(TOOLS, "v2e.py"),
@@ -96,7 +103,8 @@ def stage_train(work):
          "--image-dir", ef + "_split/train",
          "--val-image-dir", ef + "_split/validation",
          "--output", os.path.join(work, "landmarks"),
-         "MODEL.NUM_JOINTS", str(J)])
+         "MODEL.NUM_JOINTS", str(J)]
+        + (["TRAIN.END_EPOCH", str(EPOCHS)] if EPOCHS else []))
 
 
 def stage_eval(work):
