@@ -44,6 +44,12 @@ W, H = 854, 480
 # the real-run defaults.
 N_FRAMES = int(os.environ.get("R4ACC_FRAMES", "240"))
 EPOCHS = int(os.environ.get("R4ACC_EPOCHS", "0"))  # 0 = preset default (40)
+# Per-epoch validation (59 frames through the host data pipeline) and
+# per-epoch orbax saves (~18 s each) dominate wall time on a 1-vCPU
+# host; R4ACC_VAL=0 / R4ACC_CKPT_PERIOD=N trade them away when the run
+# must fit a session window. Neither affects the trained weights.
+SKIP_VAL = os.environ.get("R4ACC_VAL", "1") == "0"
+CKPT_PERIOD = int(os.environ.get("R4ACC_CKPT_PERIOD", "0"))  # 0 = preset
 if os.environ.get("R4ACC_SIZE"):
     W, H = (int(v) for v in os.environ["R4ACC_SIZE"].split("x"))
 T0 = time.time()
@@ -98,13 +104,15 @@ def stage_train(work):
     ef = os.path.join(work, "events", "event-frames")
     run([sys.executable, os.path.join(TOOLS, "train_landmarks.py"),
          "--preset", "events",
-         "--train-json", os.path.join(work, "dicts", "synthetic_train.json"),
-         "--val-json", os.path.join(work, "dicts", "synthetic_validation.json"),
-         "--image-dir", ef + "_split/train",
-         "--val-image-dir", ef + "_split/validation",
-         "--output", os.path.join(work, "landmarks"),
-         "MODEL.NUM_JOINTS", str(J)]
-        + (["TRAIN.END_EPOCH", str(EPOCHS)] if EPOCHS else []))
+         "--train-json", os.path.join(work, "dicts", "synthetic_train.json")]
+        + ([] if SKIP_VAL else
+           ["--val-json", os.path.join(work, "dicts", "synthetic_validation.json"),
+            "--val-image-dir", ef + "_split/validation"])
+        + ["--image-dir", ef + "_split/train",
+           "--output", os.path.join(work, "landmarks"),
+           "MODEL.NUM_JOINTS", str(J)]
+        + (["TRAIN.END_EPOCH", str(EPOCHS)] if EPOCHS else [])
+        + (["TRAIN.CHECKPOINT_PERIOD", str(CKPT_PERIOD)] if CKPT_PERIOD else []))
 
 
 def stage_eval(work):
@@ -289,13 +297,16 @@ def main():
     ap.add_argument("--stage", default="all",
                     choices=["all", "data", "train", "eval"])
     args = ap.parse_args()
-    os.makedirs(args.workdir, exist_ok=True)
+    # Absolute: stage_eval runs reference subprocesses with cwd=workdir,
+    # which silently re-roots any relative path (the r4s3 eval failure).
+    work = os.path.abspath(args.workdir)
+    os.makedirs(work, exist_ok=True)
     if args.stage in ("all", "data"):
-        stage_data(args.workdir)
+        stage_data(work)
     if args.stage in ("all", "train"):
-        stage_train(args.workdir)
+        stage_train(work)
     if args.stage in ("all", "eval"):
-        stage_eval(args.workdir)
+        stage_eval(work)
 
 
 if __name__ == "__main__":
