@@ -32,7 +32,14 @@ TOOLS = os.path.join(REPO, "tools")
 REF_LM = "/root/reference/landmark_regression"
 REF_POSE = "/root/reference/pose_estimation"
 
-J = 16  # craft_geometry landmarks
+def n_joints(work):
+    """Joint count = scene landmark count (craft_geometry: 8 body corners
+    + 2+2 panel tips = 12). Hardcoding it wrong (the r4s3 run used 16)
+    trains fine on zero-padded joints but breaks the reference-side
+    eval: EventsDataset._get_db (events.py:67-68) reshapes the COCO
+    keypoints to (-1,3) and assigns into a (NUM_JOINTS,3) array."""
+    with open(os.path.join(work, "scene", "landmarks.csv")) as f:
+        return sum(1 for _ in f) - 1
 # 854x480 rather than the reference's 1280x720: the emulator+renderer
 # holds (frames, max_iters, H, W) dense event maps on-device, and
 # 240x8x720x1280xf32 = 6.6 GB temp OOMs the 16 GB chip next to the
@@ -110,7 +117,7 @@ def stage_train(work):
             "--val-image-dir", ef + "_split/validation"])
         + ["--image-dir", ef + "_split/train",
            "--output", os.path.join(work, "landmarks"),
-           "MODEL.NUM_JOINTS", str(J)]
+           "MODEL.NUM_JOINTS", str(n_joints(work))]
         + (["TRAIN.END_EPOCH", str(EPOCHS)] if EPOCHS else [])
         + (["TRAIN.CHECKPOINT_PERIOD", str(CKPT_PERIOD)] if CKPT_PERIOD else []))
 
@@ -131,7 +138,7 @@ def stage_eval(work):
          "--preset", "events", "--test-json", test_json,
          "--image-dir", test_imgs, "--checkpoint", ckpt,
          "--output", our_out, "--pred-name", "pred_test",
-         "MODEL.NUM_JOINTS", str(J)])
+         "MODEL.NUM_JOINTS", str(n_joints(work))])
     our_mat = find(our_out, "pred_test.mat")
     our_poses = os.path.join(work, "our_poses")
     run([sys.executable, os.path.join(TOOLS, "export_poses.py"),
@@ -145,7 +152,7 @@ def stage_eval(work):
     pth = os.path.join(work, "trained_w32.pth")
     run([sys.executable, os.path.join(TOOLS, "export_weights.py"),
          "--checkpoint", ckpt, "--model", "pose_hrnet",
-         "--num-joints", str(J), "--image-size", "512", "512",
+         "--num-joints", str(n_joints(work)), "--image-size", "512", "512",
          "--output", pth])
 
     # ---- reference: tools/test.py on the exported weights (CPU) ----
@@ -202,7 +209,7 @@ def _write_ref_yaml(path, work, ref_root, img_dir, model_file):
                     "DATA_FORMAT": "png", "FLIP": False, "ROOT": ref_root,
                     "TEST_SET": "test", "IMAGE_WIDTH": W, "IMAGE_HEIGHT": H},
         "MODEL": {"INIT_WEIGHTS": False, "NAME": "pose_hrnet",
-                  "NUM_JOINTS": J, "PRETRAINED": "",
+                  "NUM_JOINTS": n_joints(work), "PRETRAINED": "",
                   "TARGET_TYPE": "gaussian", "IMAGE_SIZE": [512, 512],
                   "HEATMAP_SIZE": [128, 128], "SIGMA": 2,
                   "EXTRA": {"PRETRAINED_LAYERS": ["*"],
