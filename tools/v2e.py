@@ -189,6 +189,11 @@ def main():
     mdl.add_argument("--noise_rate_cov_decades", type=float, default=None)
     mdl.add_argument("--refractory_period", type=float, default=None)
     mdl.add_argument("--dvs_emulator_seed", type=int, default=None)
+    mdl.add_argument("--dvs_max_iters", type=int, default=None,
+                     help="static per-frame event-iteration cap of the "
+                          "TPU scan (EmulatorConfig.max_iters); raise it "
+                          "when the overflow warning reports clipped "
+                          "events (memory scales linearly with it)")
     mdl.add_argument("--show_dvs_model_state", nargs="*", default=None,
                      help="(GUI-only; accepted and ignored headless)")
     cam = ap.add_argument_group("DVS camera sizes")
@@ -320,6 +325,7 @@ def main():
         ("refractory_period", "refractory_period_s"),
         ("leak_jitter_fraction", "leak_jitter_fraction"),
         ("noise_rate_cov_decades", "noise_rate_cov_decades"),
+        ("dvs_max_iters", "max_iters"),
     ]:
         v = getattr(args, name)
         if v is not None:
@@ -426,8 +432,8 @@ def main():
         print(
             f"WARNING: {overflow} events were clipped by the static "
             f"max_iters={cfg.max_iters} cap (deferred to later frames; "
-            "timestamps skew by up to one frame interval). Increase "
-            "EmulatorConfig.max_iters or the SloMo upsampling.",
+            "timestamps skew by up to one frame interval). Raise "
+            "--dvs_max_iters or the SloMo upsampling.",
             file=sys.stderr,
         )
     sim_time = time.time() - t0
