@@ -32,14 +32,25 @@ TOOLS = os.path.join(REPO, "tools")
 REF_LM = "/root/reference/landmark_regression"
 REF_POSE = "/root/reference/pose_estimation"
 
+_N_JOINTS_CACHE: dict = {}
+
+
 def n_joints(work):
     """Joint count = scene landmark count (craft_geometry: 8 body corners
     + 2+2 panel tips = 12). Hardcoding it wrong (the r4s3 run used 16)
     trains fine on zero-padded joints but breaks the reference-side
     eval: EventsDataset._get_db (events.py:67-68) reshapes the COCO
-    keypoints to (-1,3) and assigns into a (NUM_JOINTS,3) array."""
-    with open(os.path.join(work, "scene", "landmarks.csv")) as f:
-        return sum(1 for _ in f) - 1
+    keypoints to (-1,3) and assigns into a (NUM_JOINTS,3) array.
+
+    Parses the CSV properly (header row + data rows; blank lines
+    ignored) and caches per workdir."""
+    if work not in _N_JOINTS_CACHE:
+        import csv
+
+        with open(os.path.join(work, "scene", "landmarks.csv")) as f:
+            rows = [r for r in csv.reader(f) if r and any(c.strip() for c in r)]
+        _N_JOINTS_CACHE[work] = len(rows) - 1  # minus the x,y,z header
+    return _N_JOINTS_CACHE[work]
 # 854x480 rather than the reference's 1280x720: the emulator+renderer
 # holds (frames, max_iters, H, W) dense event maps on-device, and
 # 240x8x720x1280xf32 = 6.6 GB temp OOMs the 16 GB chip next to the
@@ -57,6 +68,16 @@ EPOCHS = int(os.environ.get("R4ACC_EPOCHS", "0"))  # 0 = preset default (40)
 # must fit a session window. Neither affects the trained weights.
 SKIP_VAL = os.environ.get("R4ACC_VAL", "1") == "0"
 CKPT_PERIOD = int(os.environ.get("R4ACC_CKPT_PERIOD", "0"))  # 0 = preset
+# Static event-iteration cap for the v2e scan. The r4s6 run kept the
+# default max_iters=8 and clipped/deferred ~33% of the events (2.1M)
+# with up-to-one-frame timestamp skew (ADVICE r4). 16 eliminates the
+# overflow at this scene's contrast; device memory is bounded by the
+# chunked v2e scan (--dvs_frame_chunk) regardless of this value, and 16
+# still clipped 423k/5.0M events on the 240-frame scene, so default 32.
+MAX_ITERS = int(os.environ.get("R4ACC_MAX_ITERS", "32"))
+# Learning gate between train and eval (VERDICT r4 weak #2): the r4s6
+# run spent ~40 min of eval subprocesses on a model with OKS AP 0.00.
+MIN_AP50 = float(os.environ.get("R4ACC_MIN_AP50", "0.5"))
 if os.environ.get("R4ACC_SIZE"):
     W, H = (int(v) for v in os.environ["R4ACC_SIZE"].split("x"))
 T0 = time.time()
@@ -91,9 +112,16 @@ def stage_data(work):
          "--output-dir", scene, "--num-frames", str(N_FRAMES),
          "--width", str(W), "--height", str(H)])
     events = os.path.join(work, "events")
+    # idempotency: a stale events/ from a crashed earlier run makes v2e
+    # auto-increment to events-1/ and desyncs every downstream path
+    import shutil
+
+    if os.path.isdir(events):
+        shutil.rmtree(events)
     run([sys.executable, os.path.join(TOOLS, "v2e.py"),
          "-i", os.path.join(scene, "frames"), "-o", events,
-         "--dvs_params", "clean", "--dvs_exposure", "duration", "0.02"])
+         "--dvs_params", "clean", "--dvs_exposure", "duration", "0.02",
+         "--dvs_max_iters", str(MAX_ITERS)])
     ef = os.path.join(events, "event-frames")
     run([sys.executable, os.path.join(TOOLS, "make_synthetic_scene.py"), "gt",
          "--scene-dir", scene, "--event-frames-dir", ef,
@@ -118,8 +146,50 @@ def stage_train(work):
         + ["--image-dir", ef + "_split/train",
            "--output", os.path.join(work, "landmarks"),
            "MODEL.NUM_JOINTS", str(n_joints(work))]
-        + (["TRAIN.END_EPOCH", str(EPOCHS)] if EPOCHS else [])
+        + (["TRAIN.END_EPOCH", str(EPOCHS),
+            # keep the preset's 62.5%/87.5% MultiStepLR shape when the
+            # epoch budget is overridden (the preset's absolute (25, 35)
+            # would decay LR to 1e-5 at epoch 35 of a longer run)
+            "TRAIN.LR_STEP", f"[{int(EPOCHS * 0.625)}, {int(EPOCHS * 0.875)}]"]
+           if EPOCHS else [])
         + (["TRAIN.CHECKPOINT_PERIOD", str(CKPT_PERIOD)] if CKPT_PERIOD else []))
+
+
+def stage_gate(work):
+    """Hard learning gate between train and eval (VERDICT r4 #2): score
+    the trained model on the VALIDATION split and abort loudly when it
+    never learned, instead of burning ~40 min of reference-pipeline
+    eval subprocesses on garbage (the r4s6 failure mode)."""
+    ef = os.path.join(work, "events", "event-frames")
+    val_json = os.path.join(work, "dicts", "synthetic_validation.json")
+    val_imgs = ef + "_split/validation"
+    ckpt = glob.glob(os.path.join(work, "landmarks", "**", "checkpoints"),
+                     recursive=True)[0]
+    gate_out = os.path.join(work, "gate_eval")
+    run([sys.executable, os.path.join(TOOLS, "test_landmarks.py"),
+         "--preset", "events", "--test-json", val_json,
+         "--image-dir", val_imgs, "--checkpoint", ckpt,
+         "--output", gate_out, "--pred-name", "pred_val_gate",
+         "MODEL.NUM_JOINTS", str(n_joints(work))])
+    import scipy.io as scio
+
+    sys.path.insert(0, REPO)
+    from spacecraft_pose_estimation_tpu.data.landmark_dataset import LandmarkExamples
+    from spacecraft_pose_estimation_tpu.train.landmark_loop import oks_metrics
+
+    preds = np.asarray(
+        scio.loadmat(os.path.join(gate_out, "pred_val_gate.mat"))["preds"],
+        np.float32,
+    )
+    res = oks_metrics(preds, LandmarkExamples(val_json, val_imgs))
+    log(f"GATE: val OKS AP={res['AP']:.3f} AP50={res['AP50']:.3f} "
+        f"AP75={res['AP75']:.3f} (floor AP50 >= {MIN_AP50})")
+    if res["AP50"] < MIN_AP50:
+        raise SystemExit(
+            f"GATE FAILED: val OKS AP50 {res['AP50']:.3f} < {MIN_AP50} — "
+            "the model did not learn; fix training before running the "
+            "cross-pipeline eval (R4ACC_MIN_AP50 overrides the floor)."
+        )
 
 
 def stage_eval(work):
@@ -249,6 +319,7 @@ def report(work, our_mat, ref_mat, our_poses_json, ref_poses_json):
 
     def pose_errors(poses_json):
         poses = json.load(open(poses_json))
+        assert poses, f"no poses in {poses_json}"
         rot, tr = [], []
         for p in poses:
             Rg, tg = gt_for(p["image_name"])
@@ -257,7 +328,15 @@ def report(work, our_mat, ref_mat, our_poses_json, ref_poses_json):
             cosang = (np.trace(Rg.T @ Rp) - 1) / 2
             rot.append(float(np.degrees(np.arccos(np.clip(cosang, -1, 1)))))
             tr.append(float(np.linalg.norm(tp - tg) / np.linalg.norm(tg)))
-        return np.asarray(rot), np.asarray(tr)
+        rot, tr = np.asarray(rot), np.asarray(tr)
+        bad = int(np.sum(~(np.isfinite(rot) & np.isfinite(tr))))
+        # A scoring failure must fail the run, not emit a NaN report
+        # (ADVICE r4: the r4s6 run reported rc=0 with every 'ours'
+        # metric NaN).
+        assert bad == 0, (
+            f"{bad}/{len(rot)} non-finite pose errors from {poses_json}"
+        )
+        return rot, tr
 
     our_rot, our_tr = pose_errors(our_poses_json)
     ref_rot, ref_tr = pose_errors(ref_poses_json)
@@ -291,9 +370,12 @@ def report(work, our_mat, ref_mat, our_poses_json, ref_poses_json):
                 / max(speed(ref_rot, ref_tr), 1e-9)),
         },
     }
-    out = os.path.join(REPO, "devbench", "logs", "r4_accuracy_report.json")
+    out = os.path.join(
+        REPO, "devbench", "logs",
+        os.environ.get("R4ACC_REPORT", "r4_accuracy_report.json"),
+    )
     with open(out, "w") as f:
-        json.dump(rep, f, indent=1)
+        json.dump(rep, f, indent=1, allow_nan=False)
     log(json.dumps(rep, indent=1))
     log(f"report -> {out}")
 
@@ -302,7 +384,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("workdir")
     ap.add_argument("--stage", default="all",
-                    choices=["all", "data", "train", "eval"])
+                    choices=["all", "data", "train", "gate", "eval"])
     args = ap.parse_args()
     # Absolute: stage_eval runs reference subprocesses with cwd=workdir,
     # which silently re-roots any relative path (the r4s3 eval failure).
@@ -312,6 +394,8 @@ def main():
         stage_data(work)
     if args.stage in ("all", "train"):
         stage_train(work)
+    if args.stage in ("all", "gate", "eval"):
+        stage_gate(work)
     if args.stage in ("all", "eval"):
         stage_eval(work)
 

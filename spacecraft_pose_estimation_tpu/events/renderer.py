@@ -45,6 +45,37 @@ def _flatten_iters(pos, neg, ts, iter_valid):
     return delta, counts, ts.reshape(-1), iter_valid.reshape(-1)
 
 
+@partial(jax.jit, static_argnames=("num_frames",))
+def duration_acc(
+    pos: Array,  # (T, I, H, W) bool
+    neg: Array,
+    ts: Array,  # (T, I)
+    iter_valid: Array,  # (T, I)
+    t_start: Array,
+    exposure_s: float,
+    num_frames: int,
+) -> Array:
+    """Raw per-window (pos - neg) accumulation, (num_frames, H, W) int32.
+
+    Additive across stream chunks that share (t_start, exposure_s,
+    num_frames): summing per-chunk accumulators then clip+normalizing is
+    bit-identical to one pass over the whole stream — the basis of the
+    O(chunk)-memory streaming render in tools/v2e.py."""
+    delta, _, tflat, valid = _flatten_iters(pos, neg, ts, iter_valid)
+    bins = jnp.floor((tflat - t_start) / exposure_s).astype(jnp.int32)
+    bins = jnp.where(valid, jnp.clip(bins, 0, num_frames - 1), num_frames)  # invalid -> overflow bin
+    return jax.ops.segment_sum(
+        delta * valid[:, None, None], bins, num_segments=num_frames + 1
+    )[:num_frames]
+
+
+def finalize_duration(acc: Array, full_scale_count: int = 3) -> Array:
+    """Clip + grey-normalize a (summed) duration accumulator."""
+    return normalize_frame(
+        jnp.clip(acc, -full_scale_count, full_scale_count), full_scale_count
+    )
+
+
 @partial(jax.jit, static_argnames=("num_frames", "full_scale_count"))
 def render_duration(
     pos: Array,  # (T, I, H, W) bool
@@ -57,14 +88,10 @@ def render_duration(
     full_scale_count: int = 3,
 ) -> Array:
     """DURATION exposure: (num_frames, H, W) in [0, 1]."""
-    delta, _, tflat, valid = _flatten_iters(pos, neg, ts, iter_valid)
-    bins = jnp.floor((tflat - t_start) / exposure_s).astype(jnp.int32)
-    bins = jnp.where(valid, jnp.clip(bins, 0, num_frames - 1), num_frames)  # invalid -> overflow bin
-    acc = jax.ops.segment_sum(
-        delta * valid[:, None, None], bins, num_segments=num_frames + 1
-    )[:num_frames]
-    acc = jnp.clip(acc, -full_scale_count, full_scale_count)
-    return normalize_frame(acc, full_scale_count)
+    return finalize_duration(
+        duration_acc(pos, neg, ts, iter_valid, t_start, exposure_s, num_frames),
+        full_scale_count,
+    )
 
 
 @partial(jax.jit, static_argnames=("num_frames", "count", "full_scale_count"))

@@ -87,12 +87,22 @@ def adaptive_confidence_mask(
 def _gj_inverse(A: Array) -> Array:
     """Gauss-Jordan inverse of a (strictly diagonally stabilized /
     positive-definite) n x n matrix — no pivoting, n unrolled rank-1
-    updates. Depth n instead of an LU/QR composite."""
+    updates. Depth n instead of an LU/QR composite.
+
+    Pivots are magnitude-clamped (sign-preserving): a rank-deficient
+    input (degenerate normal matrix from all-zero weights — the r4
+    NaN-pose root cause) yields a garbage-but-finite inverse instead of
+    a div-by-zero inf/NaN cascade; callers gate on ``isfinite`` and fall
+    back (see ``pnp_ransac``). Well-conditioned inputs are unaffected:
+    their pivots are far above the clamp."""
     n = A.shape[-1]
     aug = jnp.concatenate([A, jnp.eye(n, dtype=A.dtype)], axis=-1)  # (n, 2n)
     rows = jnp.arange(n)
     for k in range(n):
         piv = aug[k, k]
+        piv = jnp.where(
+            jnp.abs(piv) >= 1e-20, piv, jnp.where(piv < 0, -1e-20, 1e-20)
+        )
         row_k = aug[k] / piv
         col = aug[:, k]
         upd = aug - col[:, None] * row_k[None, :]
@@ -108,7 +118,9 @@ def _min_eigvec_pd(A: Array, shift_rel: float = 1e-6) -> Array:
     ~n + 5 ops."""
     n = A.shape[-1]
     scale = jnp.trace(A) / n + 1e-30
-    B = _gj_inverse(A + (shift_rel * scale) * jnp.eye(n, dtype=A.dtype))
+    # absolute shift floor: an all-zero A (all-masked EPnP system) would
+    # otherwise invert a ~1e-36-scaled matrix and overflow f32
+    B = _gj_inverse(A + (shift_rel * scale + 1e-12) * jnp.eye(n, dtype=A.dtype))
     # normalize between squarings: B's top eigenvalue ~1/eps would
     # overflow f32 after two squarings otherwise
     for _ in range(3):
@@ -160,7 +172,13 @@ def _control_and_alphas(world: Array, w: Array) -> tuple[Array, Array]:
     c0 = jnp.sum(world * w[:, None], axis=0) / wsum
     centered = world - c0
     var = jnp.sum(centered**2 * w[:, None], axis=0) / wsum  # per axis
-    scale = jnp.sqrt(jnp.maximum(var, 1e-6 * jnp.maximum(jnp.max(var), 1e-8)))
+    # absolute floor on top of the relative one: all-zero weights give
+    # var == 0 on every axis, and a ~1e-7 scale would blow the alphas up
+    # to ~1e7 x world (finite garbage is fine — callers isfinite-gate —
+    # but overflow into inf is not)
+    scale = jnp.sqrt(
+        jnp.maximum(var, jnp.maximum(1e-6 * jnp.max(var), 1e-10))
+    )
     ctrl = jnp.concatenate([c0[None, :], c0[None, :] + jnp.diag(scale)], axis=0)
     a123 = centered / scale[None, :]  # (N, 3) coords in the basis
     a0 = 1.0 - jnp.sum(a123, axis=1)
@@ -285,11 +303,20 @@ def refine_pose(
         z = jnp.zeros(6)
         J = jax.jacfwd(residual)(z, R, t)  # (2N, 6)
         r = residual(z, R, t)
+        # GN must never corrupt a finite pose: points behind/at the
+        # camera plane project to inf, and a degenerate (all-zero-
+        # weight) system gives 0/0 — sanitize the system, then accept
+        # the step only if the updated pose stays finite.
+        J = jnp.where(jnp.isfinite(J), J, 0.0)
+        r = jnp.where(jnp.isfinite(r), r, 0.0)
         A = _mm(J.T, J) + damping * jnp.eye(6)
         g = _mm(J.T, r[:, None])[:, 0]
         delta = -_mm(_gj_inverse(A), g[:, None])[:, 0]
         dR = geometry.rodrigues(delta[:3])
-        return (_mm(dR, R), _mm(dR, t[:, None])[:, 0] + delta[3:]), None
+        Rn = _mm(dR, R)
+        tn = _mm(dR, t[:, None])[:, 0] + delta[3:]
+        ok = jnp.all(jnp.isfinite(Rn)) & jnp.all(jnp.isfinite(tn))
+        return (jnp.where(ok, Rn, R), jnp.where(ok, tn, t)), None
 
     (R, t), _ = jax.lax.scan(step, (R, t), None, length=iters)
     return R, t
@@ -303,6 +330,40 @@ def refine_pose(
 def _reproj_err(world, img_px, K, dist, R, t):
     proj = geometry.project_points(world, R, t, K, dist)
     return jnp.linalg.norm(proj - img_px, axis=-1)
+
+
+def _pose_is_finite(R: Array, t: Array) -> Array:
+    return jnp.all(jnp.isfinite(R)) & jnp.all(jnp.isfinite(t))
+
+
+def _first_finite_pose(candidates: list[tuple[Array, Array]]) -> tuple[Array, Array]:
+    """First all-finite (R, t) in priority order. The last candidate must
+    be finite by construction (the identity fallback). Mirrors the
+    reference solver's contract: ``cv2.solvePnPRansac`` never hands back
+    non-finite poses (export_predicted_poses_real.py:199-204), so
+    neither do we — the r4 accuracy run emitted 30/41 NaN poses through
+    exactly this hole."""
+    R, t = candidates[-1]
+    for Rc, tc in reversed(candidates[:-1]):
+        ok = _pose_is_finite(Rc, tc)
+        R = jnp.where(ok, Rc, R)
+        t = jnp.where(ok, tc, t)
+    return R, t
+
+
+def _identity_pose(world: Array) -> tuple[Array, Array]:
+    """Finite last-resort pose: identity rotation, target centred one
+    model-diameter in front of the camera."""
+    span = jnp.max(jnp.linalg.norm(world - jnp.mean(world, axis=0), axis=-1))
+    z = jnp.maximum(2.0 * span, 1.0)
+    return jnp.eye(3), jnp.array([0.0, 0.0, 1.0]) * z
+
+
+def _masked_err_sum(err: Array, w: Array) -> Array:
+    """Weighted reprojection-error sum that treats any non-finite entry
+    as 'infinitely bad' instead of poisoning comparisons with NaN."""
+    s = jnp.sum(jnp.where(w > 0, err, 0.0) * w)
+    return jnp.where(jnp.isfinite(s), s, jnp.inf)
 
 
 @partial(
@@ -332,7 +393,16 @@ def pnp_ransac(
     n = world.shape[0]
     valid = adaptive_confidence_mask(conf, min_count=min_count)
     vf = valid.astype(jnp.float32)
-    p = vf / jnp.maximum(jnp.sum(vf), 1.0)
+    # Sampling guard: with fewer valid points than the minimal-subset
+    # size (e.g. every confidence below the smallest adaptive
+    # threshold), a zero/underfilled probability vector makes
+    # jax.random.choice(replace=False) undefined — degrade to uniform
+    # over all points; the finite-fallback chain below bounds the rest.
+    p = jnp.where(
+        jnp.sum(vf) >= sample_size,
+        vf / jnp.maximum(jnp.sum(vf), 1.0),
+        jnp.full((n,), 1.0 / n),
+    )
 
     def hypothesis(k):
         idx = jax.random.choice(k, n, shape=(sample_size,), replace=False, p=p)
@@ -352,21 +422,30 @@ def pnp_ransac(
     # Re-solve EPnP on all inliers, then polish with Gauss-Newton.
     R1, t1 = epnp(world, _norm_pts(img_px, K, dist), iw)
     # Keep whichever of (hypothesis, inlier-EPnP) fits better, then refine.
-    e_hyp = jnp.sum(err0 * iw)
-    e_all = jnp.sum(_reproj_err(world, img_px, K, dist, R1, t1) * iw)
+    e_hyp = _masked_err_sum(err0, iw)
+    e_all = _masked_err_sum(_reproj_err(world, img_px, K, dist, R1, t1), iw)
     use_all = e_all < e_hyp
     R2 = jnp.where(use_all, R1, R0)
     t2 = jnp.where(use_all, t1, t0)
     R, t = refine_pose(R2, t2, world, img_px, K, dist, iw, iters=refine_iters)
 
+    # Finite-fallback chain: refined -> pre-refine selection -> best
+    # RANSAC hypothesis -> inlier EPnP -> identity. Guarantees finite
+    # R/t on ANY input (garbage keypoints, zero confidences, clustered
+    # points) — the reference-parity contract.
+    R, t = _first_finite_pose(
+        [(R, t), (R2, t2), (R0, t0), (R1, t1), _identity_pose(world)]
+    )
+
     err = _reproj_err(world, img_px, K, dist, R, t)
     inliers = (err < reproj_threshold) & valid
+    iw_out = inliers.astype(jnp.float32)
     return {
         "R": R,
         "t": t,
         "inliers": inliers,
         "num_inliers": jnp.sum(inliers),
-        "mean_reproj_err": jnp.sum(err * iw) / jnp.maximum(jnp.sum(iw), 1.0),
+        "mean_reproj_err": jnp.sum(err * iw_out) / jnp.maximum(jnp.sum(iw_out), 1.0),
     }
 
 
@@ -379,9 +458,11 @@ def solve_pnp(
     refine_iters: int = 10,
 ) -> tuple[Array, Array]:
     """Direct weighted EPnP + Gauss-Newton (no RANSAC) — the fused-pipeline
-    fast path when keypoint confidences are trusted."""
-    R, t = epnp(world, _norm_pts(img_px, K, dist), weights)
-    return refine_pose(R, t, world, img_px, K, dist, weights, iters=refine_iters)
+    fast path when keypoint confidences are trusted. Finite R/t on any
+    input (same fallback contract as ``pnp_ransac``)."""
+    R0, t0 = epnp(world, _norm_pts(img_px, K, dist), weights)
+    R, t = refine_pose(R0, t0, world, img_px, K, dist, weights, iters=refine_iters)
+    return _first_finite_pose([(R, t), (R0, t0), _identity_pose(world)])
 
 
 def _norm_pts(img_px, K, dist):

