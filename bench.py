@@ -83,6 +83,11 @@ PEAK_INT8_TOPS = 394.0
 _win = int(os.environ.get("BENCH_CROP_WINDOW", "0"))
 CROP_WINDOW = (_win, _win) if _win else None
 WARP_DTYPE = "bfloat16"
+# BENCH_STATIC_N=1 reverts to the round-4 scheme: one executable per
+# scan trip count (n_lo/n_hi pair compiled on sub-threads). Default is
+# the runtime-trip-count fori_loop: ONE compile per phase (VERDICT r4
+# #5 — the r4 primary burned 454 s compiling the pair).
+STATIC_N = bool(os.environ.get("BENCH_STATIC_N"))
 
 
 def _progress(msg):
@@ -186,18 +191,31 @@ def build(batch, mode="int8"):
 
     from functools import partial
 
-    @partial(jax.jit, static_argnames=("n",))
-    def repeat(variables, frames, boxes, n):
-        def body(carry, _):
-            # carry-dependent perturbation forces truly serial execution.
-            # Perturb the tiny boxes array, NOT the frames.
-            bx = boxes + carry * 1e-20
-            out = run(variables, frames, bx)
-            c = carry + jnp.sum(out["t"]) * 1e-20
-            return c, None
+    def _body(carry, variables, frames, boxes):
+        # carry-dependent perturbation forces truly serial execution.
+        # Perturb the tiny boxes array, NOT the frames.
+        bx = boxes + carry * 1e-20
+        out = run(variables, frames, bx)
+        return carry + jnp.sum(out["t"]) * 1e-20
 
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
-        return c
+    if STATIC_N:
+        @partial(jax.jit, static_argnames=("n",))
+        def repeat(variables, frames, boxes, n):
+            c, _ = jax.lax.scan(
+                lambda c, _: (_body(c, variables, frames, boxes), None),
+                jnp.float32(0.0), None, length=n,
+            )
+            return c
+    else:
+        # runtime trip count: ONE executable serves every n (halves the
+        # phase's compile wall vs the n_lo/n_hi pair — VERDICT r4 #5);
+        # same While-loop HLO as a constant-length scan
+        @jax.jit
+        def repeat(variables, frames, boxes, n):
+            return jax.lax.fori_loop(
+                0, n, lambda i, c: _body(c, variables, frames, boxes),
+                jnp.float32(0.0),
+            )
 
     return repeat, (serving_vars, frames, boxes), batch
 
@@ -315,34 +333,44 @@ def build_full_path(det_batch=8, det_every=16, det_kind=None):
 
     from functools import partial
 
-    @partial(jax.jit, static_argnames=("n",))
-    def repeat(det_vars, q_vars, frames, n):
-        def body(carry, _):
-            # device-side letterbox of the detector keyframes. The carry
-            # perturbation rides the u8->f32 widening (an elementwise
-            # producer XLA fuses into the resize read — no extra
-            # materialization of the 0.7-3.5 GB clip) and sits BEFORE the
-            # resize so the letterbox stage stays inside the loop: real
-            # serving pays it per clip, so the marginal cost must too.
-            keyframes = frames[::det_every].astype(jnp.float32) + carry * 1e-20
-            lb = jax.image.resize(
-                keyframes, (det_batch, lb_h, lb_w, 3), method="bilinear"
-            )
-            lb = jnp.pad(lb, ((0, 0), (0, det_size - lb_h), (0, det_size - lb_w), (0, 0)))
-            dets = detect(det_vars, lb)
-            best = select_best_box(dets, (det_size, det_size)) / scale
-            boxes_xywh = jnp.stack(
-                [best[:, 0], best[:, 1], best[:, 2] - best[:, 0], best[:, 3] - best[:, 1]],
-                axis=1,
-            )
-            # hold each keyframe box for its det_every-frame window
-            boxes_all = jnp.repeat(boxes_xywh, det_every, axis=0)
-            out = pose_run(q_vars, frames, boxes_all)
-            c = carry + jnp.sum(out["t"]) * 1e-20
-            return c, None
+    def _body(carry, det_vars, q_vars, frames):
+        # device-side letterbox of the detector keyframes. The carry
+        # perturbation rides the u8->f32 widening (an elementwise
+        # producer XLA fuses into the resize read — no extra
+        # materialization of the 0.7-3.5 GB clip) and sits BEFORE the
+        # resize so the letterbox stage stays inside the loop: real
+        # serving pays it per clip, so the marginal cost must too.
+        keyframes = frames[::det_every].astype(jnp.float32) + carry * 1e-20
+        lb = jax.image.resize(
+            keyframes, (det_batch, lb_h, lb_w, 3), method="bilinear"
+        )
+        lb = jnp.pad(lb, ((0, 0), (0, det_size - lb_h), (0, det_size - lb_w), (0, 0)))
+        dets = detect(det_vars, lb)
+        best = select_best_box(dets, (det_size, det_size)) / scale
+        boxes_xywh = jnp.stack(
+            [best[:, 0], best[:, 1], best[:, 2] - best[:, 0], best[:, 3] - best[:, 1]],
+            axis=1,
+        )
+        # hold each keyframe box for its det_every-frame window
+        boxes_all = jnp.repeat(boxes_xywh, det_every, axis=0)
+        out = pose_run(q_vars, frames, boxes_all)
+        return carry + jnp.sum(out["t"]) * 1e-20
 
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
-        return c
+    if STATIC_N:
+        @partial(jax.jit, static_argnames=("n",))
+        def repeat(det_vars, q_vars, frames, n):
+            c, _ = jax.lax.scan(
+                lambda c, _: (_body(c, det_vars, q_vars, frames), None),
+                jnp.float32(0.0), None, length=n,
+            )
+            return c
+    else:
+        @jax.jit
+        def repeat(det_vars, q_vars, frames, n):
+            return jax.lax.fori_loop(
+                0, n, lambda i, c: _body(c, det_vars, q_vars, frames),
+                jnp.float32(0.0),
+            )
 
     return repeat, (det_vars, q_vars, frames), clip
 
@@ -393,22 +421,32 @@ class Phase:
             self.built.set()
             _progress(f"{self.name}: built (device work done), compiling")
 
-            # the n_lo/n_hi graphs differ only in scan trip count; compile
-            # them concurrently — the remote compile service parallelizes
-            # (probe_r8_parcompile), halving this phase's compile wall time
-            def compile_n(n):
-                self.exe[n] = repeat.lower(*self.args, n=n).compile()
+            if STATIC_N:
+                # round-4 scheme: the n_lo/n_hi graphs differ only in
+                # scan trip count; compile them concurrently — the
+                # remote compile service parallelizes
+                # (probe_r8_parcompile), halving the compile wall time
+                def compile_n(n):
+                    self.exe[n] = repeat.lower(*self.args, n=n).compile()
 
-            ts = [
-                threading.Thread(target=compile_n, args=(n,), daemon=True)
-                for n in (self.n_lo, self.n_hi)
-            ]
-            for t in ts:
-                t.start()
-            for t in ts:
-                t.join()
-            if len(self.exe) != 2:
-                raise RuntimeError("a compile sub-thread died")
+                ts = [
+                    threading.Thread(target=compile_n, args=(n,), daemon=True)
+                    for n in (self.n_lo, self.n_hi)
+                ]
+                for t in ts:
+                    t.start()
+                for t in ts:
+                    t.join()
+                if len(self.exe) != 2:
+                    raise RuntimeError("a compile sub-thread died")
+            else:
+                # runtime trip count: one executable serves every n
+                import jax.numpy as jnp
+
+                exe = repeat.lower(
+                    *self.args, jnp.asarray(self.n_hi, jnp.int32)
+                ).compile()
+                self.exe = {self.n_lo: exe, self.n_hi: exe}
             self.compile_s = round(time.time() - t0, 1)
             _progress(f"{self.name}: compiled in {self.compile_s}s")
         except Exception as e:  # surfaced in extra, never fatal
@@ -421,17 +459,21 @@ class Phase:
         """Marginal per-iteration time between n_lo and n_hi repeats —
         pure device throughput, dispatch overhead excluded (see module
         docstring). Returns (fps, flop_stats)."""
-        exe_lo, exe_hi = self.exe[self.n_lo], self.exe[self.n_hi]
+        import jax.numpy as jnp
 
-        def timed(e):
+        exe_lo, exe_hi = self.exe[self.n_lo], self.exe[self.n_hi]
+        one_exe = exe_lo is exe_hi  # runtime-trip-count mode
+
+        def timed(e, n):
+            extra_args = (jnp.asarray(n, jnp.int32),) if one_exe else ()
             t0 = time.perf_counter()
-            _ = float(e(*self.args))  # scalar readback forces execution
+            _ = float(e(*self.args, *extra_args))  # scalar readback forces execution
             return time.perf_counter() - t0
 
-        timed(exe_lo)  # warm-up (first dispatch pays transfers)
-        timed(exe_hi)
-        t_lo = min(timed(exe_lo) for _ in range(reps))
-        t_hi = min(timed(exe_hi) for _ in range(reps))
+        timed(exe_lo, self.n_lo)  # warm-up (first dispatch pays transfers)
+        timed(exe_hi, self.n_hi)
+        t_lo = min(timed(exe_lo, self.n_lo) for _ in range(reps))
+        t_hi = min(timed(exe_hi, self.n_hi) for _ in range(reps))
         # guard: real phases have 0.1-10 s marginal cost; clamp protects
         # against timer-noise-negative dt on degenerate graphs
         dt = max((t_hi - t_lo) / (self.n_hi - self.n_lo), 1e-6)
@@ -540,21 +582,21 @@ def main():
         # lose the phases that have not yet printed.
         emit()
 
-    # Re-measure the primary once every compile thread has drained:
-    # background remote-compile waits cost ~20% host-dispatch throughput
-    # (devbench/probe_r8_parcompile.py), so the first primary sample can
-    # read low. Keep the max of the two (min-of-reps makes each sample a
-    # floor, never an overestimate).
-    prim = phases[0]
-    if prim.error is None and prim.exe and any(
-        p.name != "primary" and p.done.is_set() for p in phases[1:]
-    ):
-        fps2, stats2 = prim.measure()
-        _progress(f"primary (quiet re-measure): {fps2:.1f} fps")
-        if fps2 > result["fps"]:
-            result["fps"] = fps2
-            extra.update(stats2)
-        emit()
+        # Progressive primary re-measure (VERDICT r4 #5): the first
+        # primary sample is taken while later phases still hold the
+        # remote compile service (~20% host-dispatch tax,
+        # probe_r8_parcompile — the r4 cold sample read 737 vs 1389
+        # fps). Re-measuring after EACH later phase (~10 s) upgrades
+        # the recorded number as early as possible instead of betting
+        # on one final quiet window surviving the driver kill.
+        prim = phases[0]
+        if p.name != "primary" and prim.error is None and prim.exe:
+            fps2, stats2 = prim.measure()
+            _progress(f"primary (re-measure after {p.name}): {fps2:.1f} fps")
+            if fps2 > result["fps"]:
+                result["fps"] = fps2
+                extra.update(stats2)
+                emit()
 
 
 if __name__ == "__main__":

@@ -106,10 +106,21 @@ def train_epoch(
     base_key,
     print_freq: int = 20,
 ):
-    """One epoch: host batch -> device transform -> jitted step."""
+    """One epoch: host batch -> device transform -> jitted step.
+
+    Steps dispatch asynchronously and metrics stay ON DEVICE until one
+    epoch-end readback: per-step ``float(metric)`` / ``int(state.step)``
+    conversions each block on a full TPU-tunnel round trip, which
+    measured ~4 s/step of pure latency on the axon backend (the r5
+    accuracy run: 45 s/epoch for ~0.7 s of actual compute). The fold_in
+    step index is derived host-side (state.step increments by exactly 1
+    per step), so the augmentation key stream is bit-identical to the
+    per-step-readback version."""
+    step0 = int(state.step)
+    collected = []
     for i in range(steps):
         raw = next(data_iter)
-        key = jax.random.fold_in(base_key, int(state.step))
+        key = jax.random.fold_in(base_key, step0 + i)
         batch = device_transform(
             jnp.asarray(raw["image"]),
             jnp.asarray(raw["bbox"]),
@@ -119,12 +130,14 @@ def train_epoch(
             **transform_kwargs,
         )
         state, metrics = train_step(state, batch)
-        storage.step = int(state.step)
-        storage.put_scalars(**{k: float(v) for k, v in metrics.items()})
-        if (i + 1) % print_freq == 0:
+        collected.append(metrics)
+    for j, m in enumerate(jax.device_get(collected)):
+        storage.step = step0 + j + 1
+        storage.put_scalars(**{k: float(v) for k, v in m.items()})
+        if (j + 1) % print_freq == 0:
             logger.info(
                 "step %d loss %.5f acc %.3f",
-                int(state.step), storage.avg("loss"), storage.avg("acc"),
+                step0 + j + 1, storage.avg("loss"), storage.avg("acc"),
             )
     return state
 
