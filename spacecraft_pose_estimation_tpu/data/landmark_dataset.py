@@ -106,6 +106,67 @@ def batch_iterator(
     )
 
 
+class DeviceDatasetCache:
+    """Entire example table resident on device: uint8 frames + geometry.
+
+    The serving/training host next to the TPU tunnel uploads ~20 MB/s;
+    re-sending each batch of raw frames per step (24 x 854x480x3 f32 =
+    118 MB) measured 75 s/epoch on the r5 accuracy run — 30x the step's
+    actual compute. A whole 279-frame event split is 343 MB as uint8,
+    so it is uploaded ONCE and batches are gathered on device by index
+    (the reference has no analogue: torch DataLoader workers feed a
+    local PCIe GPU, lib/dataset/JointsDataset.py:121-229).
+
+    Numerically identical to the host path: frames hold integral 0..255
+    values and ops.warp casts to f32 before interpolation.
+    """
+
+    def __init__(self, examples: LandmarkExamples, color_rgb: bool = True):
+        import jax.numpy as jnp
+
+        imgs = np.stack(
+            [examples.load_image(i, color_rgb) for i in range(len(examples))]
+        )
+        self.nbytes = imgs.nbytes
+        self.images = jnp.asarray(imgs)  # (N, H, W, 3) uint8
+        recs = examples.records
+        self.bboxes = jnp.asarray(
+            np.stack([r["bbox"] for r in recs]).astype(np.float32)
+        )
+        self.joints = jnp.asarray(
+            np.stack([r["joints"] for r in recs]).astype(np.float32)
+        )
+        self.joints_vis = jnp.asarray(
+            np.stack([r["joints_vis"] for r in recs]).astype(np.float32)
+        )
+
+    def gather(self, idx: np.ndarray):
+        """Device-side batch gather. idx: (B,) host ints (a few dozen
+        bytes up the tunnel instead of the frame batch)."""
+        i = jnp.asarray(np.asarray(idx, np.int32))
+        return (
+            jnp.take(self.images, i, axis=0),
+            jnp.take(self.bboxes, i, axis=0),
+            jnp.take(self.joints, i, axis=0),
+            jnp.take(self.joints_vis, i, axis=0),
+        )
+
+
+def index_iterator(
+    n: int, batch_size: int, shuffle: bool = True, seed: int = 0, loop: bool = True
+) -> Iterator[np.ndarray]:
+    """The index stream of `batch_iterator` without the host decode —
+    pairs with `DeviceDatasetCache.gather`. Same rng/permutation scheme,
+    so the example order matches the host path exactly."""
+    rng = np.random.default_rng(seed)
+    while True:
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        for start in range(0, n - batch_size + 1, batch_size):
+            yield order[start : start + batch_size]
+        if not loop:
+            return
+
+
 def sample_augmentation(
     key: Array, batch: int, scale_factor: float, rot_factor: float, rot_prob: float = 0.6
 ) -> tuple[Array, Array]:

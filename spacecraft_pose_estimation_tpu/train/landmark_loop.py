@@ -105,6 +105,7 @@ def train_epoch(
     transform_kwargs: dict,
     base_key,
     print_freq: int = 20,
+    cache=None,
 ):
     """One epoch: host batch -> device transform -> jitted step.
 
@@ -121,11 +122,20 @@ def train_epoch(
     for i in range(steps):
         raw = next(data_iter)
         key = jax.random.fold_in(base_key, step0 + i)
+        if cache is not None:
+            # device-resident dataset: `raw` is an index batch; the
+            # frames never leave the device (see DeviceDatasetCache)
+            images, bboxes, joints, vis = cache.gather(raw)
+        else:
+            images = jnp.asarray(raw["image"])
+            bboxes = jnp.asarray(raw["bbox"])
+            joints = jnp.asarray(raw["joints"])
+            vis = jnp.asarray(raw["joints_vis"])
         batch = device_transform(
-            jnp.asarray(raw["image"]),
-            jnp.asarray(raw["bbox"]),
-            jnp.asarray(raw["joints"]),
-            jnp.asarray(raw["joints_vis"]),
+            images,
+            bboxes,
+            joints,
+            vis,
             key,
             **transform_kwargs,
         )

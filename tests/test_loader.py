@@ -98,6 +98,57 @@ class TestDatasetIterators:
             np.testing.assert_array_equal(x["image"], y["image"])
             np.testing.assert_array_equal(x["image_id"], y["image_id"])
 
+    def test_device_cache_matches_host_path(self, tmp_path):
+        """DeviceDatasetCache.gather + index_iterator must reproduce the
+        batch_iterator stream bit-for-bit (same permutation rng; uint8
+        frames hold the same integral values the host path casts to
+        f32)."""
+        import cv2
+
+        from spacecraft_pose_estimation_tpu.data import coco_io
+        from spacecraft_pose_estimation_tpu.data.landmark_dataset import (
+            DeviceDatasetCache,
+            LandmarkExamples,
+            batch_iterator,
+            index_iterator,
+        )
+
+        rng = np.random.default_rng(0)
+        imgdir = tmp_path / "imgs"
+        imgdir.mkdir()
+        images, annotations = [], []
+        for i in range(9):
+            img = rng.integers(0, 255, (24, 28, 3), np.uint8)
+            cv2.imwrite(str(imgdir / f"{i}.png"), img)
+            images.append({"file_name": f"{i}.png", "width": 28, "height": 24, "id": i})
+            annotations.append({
+                "image_id": i, "id": i, "category_id": 1,
+                "bbox": [2, 2, 20, 18],
+                "keypoints": [5, 5, 2, 12, 14, 1],
+                "num_keypoints": 2,
+            })
+        coco = {
+            "images": images, "annotations": annotations,
+            "categories": [{"id": 1, "name": "spacecraft",
+                            "keypoints": ["a", "b"], "skeleton": []}],
+        }
+        path = tmp_path / "train.json"
+        coco_io.save_coco(coco, str(path))
+
+        ex = LandmarkExamples(str(path), str(imgdir))
+        cache = DeviceDatasetCache(ex)
+        host_iter = batch_iterator(ex, 4, seed=7, num_workers=0)
+        idx_iter = index_iterator(len(ex), 4, seed=7)
+        for _ in range(4):
+            host = next(host_iter)
+            imgs, bboxes, joints, vis = cache.gather(next(idx_iter))
+            np.testing.assert_array_equal(
+                np.asarray(imgs, np.float32), host["image"]
+            )
+            np.testing.assert_array_equal(np.asarray(bboxes), host["bbox"])
+            np.testing.assert_array_equal(np.asarray(joints), host["joints"])
+            np.testing.assert_array_equal(np.asarray(vis), host["joints_vis"])
+
     def test_detection_batches_deterministic(self, tmp_path):
         import cv2
 
