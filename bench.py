@@ -77,10 +77,12 @@ PEAK_INT8_TOPS = 394.0
 # measured slower than bf16 (9.6 vs 7.9 ms/b128 — the int32
 # intermediate doubles HBM traffic; probe_r3d). The XLA windowed crop
 # (dynamic_slice + separable warp, ops/warp.crop_and_resize_mxu_windowed)
-# cuts the crop contraction ~3.4x instead; BENCH_CROP_WINDOW=<px>
-# selects it (0/unset = full-frame). Exact for padded crops up to
-# (window-2) px — the default serving box is 750 px, so 768 covers it.
-_win = int(os.environ.get("BENCH_CROP_WINDOW", "0"))
+# measured 5.56 -> 3.29 ms/b128 on the crop segment (r5_perf_queue,
+# scan-marginal timing) and is the serving DEFAULT since round 5:
+# BENCH_CROP_WINDOW=0 reverts to the full-frame contraction. Exact for
+# padded crops up to (window-2) px — the default serving box is 750 px,
+# so 768 covers it; larger boxes are scale-clamped (graceful FOV crop).
+_win = int(os.environ.get("BENCH_CROP_WINDOW", "768"))
 CROP_WINDOW = (_win, _win) if _win else None
 WARP_DTYPE = "bfloat16"
 # BENCH_STATIC_N=1 reverts to the round-4 scheme: one executable per
@@ -172,12 +174,15 @@ def build(batch, mode="int8"):
         # BENCH_MERGE_FUSE=1: concatenate same-source fuse-exchange
         # convs into full-lane convs (hrnet_int8.merge_fuse, bit-exact)
         fold = int(os.environ.get("BENCH_FOLD", "0"))
-        # BENCH_NORMFOLD=1: fold ImageNet normalize into stem1 weights
-        # (raw-crop input — saves the f32 normalized-crop HBM round trip)
+        # BENCH_NORMFOLD (default ON since r5): fold ImageNet normalize
+        # into stem1 weights — raw-crop input saves the f32
+        # normalized-crop HBM round trip (86.92 -> 86.48 ms/b128,
+        # r5_perf_queue). BENCH_MERGE_FUSE measured DEAD at model level
+        # (84.54 -> 87.02 ms/b128) and stays default-OFF.
         serving_model = HRNetInt8(
             model.config, fold_residual=fold >= 1, fold_fuse_up=fold >= 2,
             merge_fuse=os.environ.get("BENCH_MERGE_FUSE") == "1",
-            fold_normalize=os.environ.get("BENCH_NORMFOLD") == "1",
+            fold_normalize=os.environ.get("BENCH_NORMFOLD", "1") == "1",
         )
         serving_vars = q
     else:
@@ -314,7 +319,7 @@ def build_full_path(det_batch=8, det_every=16, det_kind=None):
     fold_lm = int(os.environ.get("BENCH_FOLD", "0"))
     serving_lm = HRNetInt8(
         lm_model.config, fold_residual=fold_lm >= 1, fold_fuse_up=fold_lm >= 2,
-        fold_normalize=os.environ.get("BENCH_NORMFOLD") == "1",
+        fold_normalize=os.environ.get("BENCH_NORMFOLD", "1") == "1",
     )
 
     lm3d = rng.normal(size=(num_joints, 3)).astype(np.float32)

@@ -109,6 +109,7 @@ class ConvFrozenBN(nn.Module):
     dilation: int = 1
     act: bool = True
     dtype: Dtype = jnp.float32
+    merged_group_width: int = 128
 
     @nn.compact
     def __call__(self, x):
@@ -116,7 +117,8 @@ class ConvFrozenBN(nn.Module):
         if self.groups > 1:
             x = MergedGroupConv(
                 self.features, self.kernel, self.stride, self.groups,
-                dilation=self.dilation, dtype=self.dtype, name="conv",
+                dilation=self.dilation, dtype=self.dtype,
+                target_group_width=self.merged_group_width, name="conv",
             )(x)
         else:
             x = nn.Conv(
@@ -148,6 +150,7 @@ class BottleneckX(nn.Module):
     dilation: int = 1
     stride_in_1x1: bool = True  # Caffe2/MSRA ResNet convention (R50/R101 zoo)
     dtype: Dtype = jnp.float32
+    merged_group_width: int = 128
 
     @nn.compact
     def __call__(self, x):
@@ -155,7 +158,8 @@ class BottleneckX(nn.Module):
         out = ConvFrozenBN(self.bottleneck_channels, 1, s1, dtype=self.dtype, name="conv1")(x)
         out = ConvFrozenBN(
             self.bottleneck_channels, 3, s3, groups=self.groups,
-            dilation=self.dilation, dtype=self.dtype, name="conv2",
+            dilation=self.dilation, dtype=self.dtype,
+            merged_group_width=self.merged_group_width, name="conv2",
         )(out)
         out = ConvFrozenBN(self.out_channels, 1, 1, act=False, dtype=self.dtype, name="conv3")(out)
         if self.stride != 1 or x.shape[-1] != self.out_channels:
@@ -180,6 +184,9 @@ class ResNetConfig:
     freeze_at: int = 2  # freeze stem + res2, the zoo default
     stride_in_1x1: bool = True  # False for ResNeXt zoo weights
     out_features: tuple[str, ...] = ("res2", "res3", "res4", "res5")
+    # MergedGroupConv packing target (lane width of the merged groups);
+    # the FLOP-vs-utilization tradeoff knob for the grouped 3x3s
+    merged_group_width: int = 128
 
 
 # The reference's flagship trunk (config_4: X101-FPN).
@@ -222,6 +229,7 @@ class ResNetBackbone(nn.Module):
                     groups=cfg.groups,
                     stride_in_1x1=cfg.stride_in_1x1,
                     dtype=self.dtype,
+                    merged_group_width=cfg.merged_group_width,
                     name=f"res{si + 2}_b{bi}",
                 )(x)
             if cfg.freeze_at >= si + 2:
