@@ -118,6 +118,13 @@ VARIANTS = [
     ("full gw64", 64, "full"),
     ("full gw256", 256, "full"),
 ]
+# R5T_ONLY=<substring>: build/measure just the matching variants — the
+# all-at-once run died RESOURCE_EXHAUSTED at measure time (4 resident
+# X101 param/momentum sets + the b16 800^2 backward's temp memory
+# exceed the 16 GB chip). One variant per process is the safe shape.
+_only = os.environ.get("R5T_ONLY")
+if _only:
+    VARIANTS = [v for v in VARIANTS if _only in v[0]]
 
 exes = {}
 args_of = {}
