@@ -96,6 +96,38 @@ def _progress(msg):
     print(f"[bench] {msg} (t+{time.time() - T0:.0f}s)", file=sys.stderr, flush=True)
 
 
+def _cached_quant(tag, fn):
+    """Disk-cache a PTQ tree. The calibration walk issues hundreds of
+    per-op range measurements, each paying the ~25 ms tunnel round trip
+    — ~8-12 min of the build phase per bench run (r5s2: primary build
+    811 s while the warm-service compile was 34 s). The quantized trees
+    are deterministic (fixed-seed init + fixed-seed calib data), so a
+    repo-local gitignored cache makes every later run — including the
+    driver's end-of-round run in the same container — skip it.
+    BENCH_NO_QCACHE=1 disables."""
+    import pickle
+
+    if os.environ.get("BENCH_NO_QCACHE"):
+        return fn()
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, tag + ".pkl")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if os.path.exists(p):
+        with open(p, "rb") as f:
+            tree = pickle.load(f)
+        _progress(f"PTQ cache hit: {tag}")
+        return jax.tree_util.tree_map(jnp.asarray, tree)
+    q = fn()
+    with open(p, "wb") as f:
+        pickle.dump(jax.tree_util.tree_map(np.asarray, q), f)
+    _progress(f"PTQ cache write: {tag}")
+    return q
+
+
 def build(batch, mode="int8"):
     import jax
     import jax.numpy as jnp
@@ -168,7 +200,10 @@ def build(batch, mode="int8"):
         )
         # s2d=False: the even3/alt packed walks measured SLOWER in situ
         # (111 vs 83.6 ms/b128, probe_r3d) despite faster isolated convs
-        q = quantize_hrnet(model, variables, calib, s2d=False)
+        q = _cached_quant(
+            f"hrnet_w32_j{num_joints}_primary",
+            lambda: quantize_hrnet(model, variables, calib, s2d=False),
+        )
         # BENCH_FOLD: 1 = fold residual adds into conv epilogues,
         # 2 = also fold the fuse-up path (see hrnet_int8.fold_residual)
         # BENCH_MERGE_FUSE=1: concatenate same-source fuse-exchange
@@ -296,7 +331,10 @@ def build_full_path(det_batch=8, det_every=16, det_kind=None):
             jnp.asarray(rng.integers(0, 255, (2, det_size, det_size, 3)), jnp.float32)
             - mean
         ) / std
-        qb = quantize_backbone(det_cfg.backbone, det_vars, calib_det)
+        qb = _cached_quant(
+            f"backbone_{det_kind}_{det_size}",
+            lambda: quantize_backbone(det_cfg.backbone, det_vars, calib_det),
+        )
         fold_det = int(os.environ.get("BENCH_FOLD", "0")) >= 1
 
         def detect(v, lb):
@@ -315,7 +353,10 @@ def build_full_path(det_batch=8, det_every=16, det_kind=None):
     calib = normalize_crops(
         jnp.asarray(rng.integers(0, 255, size=(4, 512, 512, 3)), jnp.float32)
     )
-    q_vars = quantize_hrnet(lm_model, lm_vars, calib, s2d=False)
+    q_vars = _cached_quant(
+        f"hrnet_w32_j{num_joints}_fullpath",
+        lambda: quantize_hrnet(lm_model, lm_vars, calib, s2d=False),
+    )
     fold_lm = int(os.environ.get("BENCH_FOLD", "0"))
     serving_lm = HRNetInt8(
         lm_model.config, fold_residual=fold_lm >= 1, fold_fuse_up=fold_lm >= 2,
@@ -606,3 +647,11 @@ def main():
 
 if __name__ == "__main__":
     main()
+    # Hard-exit: when a phase is budget-skipped its daemon compile
+    # thread is still blocked inside the XLA client; normal interpreter
+    # teardown then aborts with "FATAL: exception not rethrown"
+    # (observed r5s2 run 2 — nonzero rc AFTER the JSON line landed).
+    # All output is flushed by emit(); skip teardown entirely.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
