@@ -67,12 +67,18 @@ def run_shape(name, h, cin, cout, k, stride, fgc):
 
         return rep
 
-    # the grad bodies DCE the primal conv (sum's cotangent is ones and
-    # the primal value is unused), so dx/dw time the pure backward op
+    # dw: cotangent of sum() is ones and the primal conv is DCE'd, but
+    # dw = dwconv(x, ones) depends on the loop-perturbed x -> stays in
+    # the loop; times the pure weight-gradient op.
+    # dx with a sum() loss is LINEAR in w only (dx = dxconv(ones, w)) —
+    # loop-invariant, hoisted, measures 0 (first probe run). Use the
+    # squared loss instead: grad = dxconv(conv(x, w), w), so the "fwdx2"
+    # graph is fwd + dx and dx ~= fwdx2 - fwd.
     fwd = rep_of(lambda x, w: jnp.sum(conv(x, w).astype(jnp.float32)))
-    dx = rep_of(lambda x, w: jnp.sum(
-        jax.grad(lambda xi: jnp.sum(conv(xi, w).astype(jnp.float32)))(x)
-        .astype(jnp.float32)
+    fwdx2 = rep_of(lambda x, w: jnp.sum(
+        jax.grad(
+            lambda xi: 0.5 * jnp.sum(conv(xi, w).astype(jnp.float32) ** 2)
+        )(x).astype(jnp.float32)
     ))
     dw = rep_of(lambda x, w: jnp.sum(
         jax.grad(lambda wi: jnp.sum(conv(x, wi).astype(jnp.float32)))(w)
@@ -80,7 +86,7 @@ def run_shape(name, h, cin, cout, k, stride, fgc):
     ))
 
     out = {}
-    for kind, rep in (("fwd", fwd), ("dx", dx), ("dw", dw)):
+    for kind, rep in (("fwd", fwd), ("fwdx2", fwdx2), ("dw", dw)):
         exe = rep.lower(x, w, jnp.asarray(0, jnp.int32)).compile()
 
         def t(n):
@@ -92,9 +98,10 @@ def run_shape(name, h, cin, cout, k, stride, fgc):
         dt = max((min(t(5) for _ in range(3)) - min(t(1) for _ in range(3))) / 4, 1e-9)
         out[kind] = dt
     gflop = 2 * B * (h // stride) ** 2 * k * k * (cin // fgc) * cout / 1e9
+    dx = max(out["fwdx2"] - out["fwd"], 1e-9)
     print(
         f"[{name:15s}] fwd {out['fwd']*1e3:7.2f} ms ({gflop/out['fwd']/1e3:6.1f} TF/s)  "
-        f"dx {out['dx']*1e3:7.2f} ms ({gflop/out['dx']/1e3:6.1f})  "
+        f"dx~ {dx*1e3:7.2f} ms ({gflop/dx/1e3:6.1f})  "
         f"dw {out['dw']*1e3:7.2f} ms ({gflop/out['dw']/1e3:6.1f})",
         flush=True,
     )
