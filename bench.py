@@ -4,13 +4,14 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 vs_baseline is measured against the north-star target of 2000
 frames/s/chip (BASELINE.md) — >1.0 beats it.
 
-Round-3 serving configuration (the primary metric):
+Round-5 serving configuration (the primary metric):
   * uint8 frames (the true serving ingest contract — full-frame f32
     tensors tripled HBM read traffic for nothing),
-  * full-frame separable bf16 MXU crop (probe-measured fastest vs the
-    Pallas windowed DMA crop and the int8-tap variant),
-  * int8 PTQ HRNet, per-op direct walk (the s2d packed walks and the
-    fused Pallas chains each measured slower in situ — see DEVNOTES),
+  * XLA WINDOWED bf16 MXU crop, 768 px window (5.56 -> 3.29 ms/b128 vs
+    the round-3 full-frame contraction; r5_perf_queue),
+  * int8 PTQ HRNet, per-op direct walk, ImageNet normalize FOLDED into
+    stem1 (the s2d packed walks, fused Pallas chains, fold_residual and
+    merge_fuse each measured slower in situ — see DEVNOTES),
   * fixed-depth shallow-linalg PnP (ops/pnp.py: 4.05 -> 0.38 ms/b128).
 
 Timing methodology: this image's axon TPU backend is fully asynchronous
